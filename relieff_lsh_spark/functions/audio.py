@@ -1,0 +1,132 @@
+"""Audio-channel signature functions.
+
+Design (SURVEY.md §2.9, §7.1 M2): decode -> spectral fingerprint -> SimHash64
+are FUSED into one Arrow-batched mapInPandas stage so raw PCM never crosses a
+shuffle boundary and the wide `bytes` column is dropped at the source
+(SURVEY.md §4 O10: never shuffle bytes). Everything inside is numpy-batch
+work — no per-row Python beyond the unavoidable per-clip FFT loop, which is
+itself vectorized over frames.
+
+The SimHash-64 here plays the role of the reference's LSH point signature
+(EuclideanLSHasher import, reference ReliefFFeatureSelector.scala:19; params
+R:158-161): random-hyperplane projections of the spectral fingerprint,
+packed to 64 bits, compared later with xor+bit_count (JVM-side).
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from relieff_lsh_spark.config import DedupConfig
+
+SIGNATURE_SCHEMA = T.StructType([
+    T.StructField("clip_id", T.StringType()),
+    T.StructField("simhash", T.LongType()),
+    T.StructField("n_samples", T.IntegerType()),
+    T.StructField("rms", T.FloatType()),
+])
+
+
+def decode_pcm(buf: bytes, codec: str) -> tuple[np.ndarray, int]:
+    """Decode one clip to float32 [-1,1] + sample rate.
+
+    pcm_s16le in a RIFF/WAVE container is implemented exactly (44-byte
+    header). Other codecs are a clearly-marked stub: the Spark-side plumbing
+    (schema, batching, UDF signature) is real; the decoders need external
+    libs not present in this container.
+    """
+    if codec == "pcm_s16le":
+        sr_hz = struct.unpack_from("<I", buf, 24)[0]
+        n_bytes = struct.unpack_from("<I", buf, 40)[0]
+        pcm = np.frombuffer(buf, dtype=np.int16, count=n_bytes // 2, offset=44)
+        return pcm.astype(np.float32) / 32768.0, int(sr_hz)
+    raise NotImplementedError(
+        f"codec {codec!r}: compressed-audio decode requires external codec "
+        "libraries (ffmpeg/soundfile) not available in this environment"
+    )
+
+
+def spectral_fingerprint(x: np.ndarray, sr_hz: int, cfg: DedupConfig) -> np.ndarray:
+    """Noise-robust spectral fingerprint: mean power spectrum over Hann
+    frames, pooled into cfg.n_freq_bands linear bands on 0..fmax_hz, log,
+    floor-clamped at (peak - 30 dB), mean-centered, L2-normalized.
+
+    The -30 dB clamp makes the fingerprint invariant to broadband noise well
+    below the signal (the SNR>=35dB `audio_near` perturbation), while
+    heavily-noised clips legitimately diverge.
+    """
+    n_fft, hop = cfg.fft_window, cfg.fft_hop
+    if len(x) < n_fft:
+        x = np.pad(x, (0, n_fft - len(x)))
+    n_frames = 1 + (len(x) - n_fft) // hop
+    # strided frame view -> (n_frames, n_fft), vectorized FFT
+    frames = np.lib.stride_tricks.as_strided(
+        x, shape=(n_frames, n_fft),
+        strides=(x.strides[0] * hop, x.strides[0]), writeable=False,
+    )
+    win = np.hanning(n_fft).astype(np.float32)
+    spec = np.abs(np.fft.rfft(frames * win, axis=1)) ** 2
+    mean_spec = spec.mean(axis=0)  # (n_fft//2+1,)
+
+    freqs = np.fft.rfftfreq(n_fft, 1.0 / sr_hz)
+    edges = np.linspace(0.0, cfg.fmax_hz, cfg.n_freq_bands + 1)
+    idx = np.searchsorted(freqs, edges)
+    band = np.zeros(cfg.n_freq_bands, dtype=np.float64)
+    for i in range(cfg.n_freq_bands):
+        lo, hi = idx[i], max(idx[i + 1], idx[i] + 1)
+        band[i] = mean_spec[lo:hi].mean() if hi <= len(mean_spec) else 0.0
+
+    logb = np.log10(band + 1e-20)
+    logb = np.maximum(logb, logb.max() - 3.0)  # -30 dB floor clamp
+    logb -= logb.mean()
+    norm = np.linalg.norm(logb)
+    return logb / norm if norm > 0 else logb
+
+
+def simhash_planes(cfg: DedupConfig) -> np.ndarray:
+    """Seeded random hyperplanes (simhash_bits x n_freq_bands)."""
+    rng = np.random.default_rng(cfg.seed ^ 0x51AE_2222)
+    return rng.standard_normal((cfg.simhash_bits, cfg.n_freq_bands))
+
+
+def simhash64(fp: np.ndarray, planes: np.ndarray) -> int:
+    """Sign bits of hyperplane projections packed into a signed int64."""
+    bits = (planes @ fp) > 0
+    val = np.uint64(0)
+    for i, b in enumerate(bits):
+        if b:
+            val |= np.uint64(1) << np.uint64(i)
+    return int(val.astype(np.int64))
+
+
+def audio_signatures(corpus: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """corpus -> (clip_id, simhash, n_samples, rms) via one fused
+    mapInPandas pass. Drops `bytes` before any shuffle."""
+    planes = simhash_planes(cfg)
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes, counts, rmss = [], [], [], []
+            for buf, codec, cid in zip(pdf["bytes"], pdf["codec"], pdf["clip_id"]):
+                x, sr = decode_pcm(bytes(buf), codec)
+                fp = spectral_fingerprint(x, sr, cfg)
+                hashes.append(simhash64(fp, planes))
+                ids.append(cid)
+                counts.append(len(x))
+                rmss.append(float(np.sqrt(np.mean(x**2))) if len(x) else 0.0)
+            yield pd.DataFrame({
+                "clip_id": ids,
+                "simhash": pd.Series(hashes, dtype="int64"),
+                "n_samples": pd.Series(counts, dtype="int32"),
+                "rms": pd.Series(rmss, dtype="float32"),
+            })
+
+    return corpus.select("clip_id", "bytes", "codec").mapInPandas(
+        compute, schema=SIGNATURE_SCHEMA
+    )

@@ -1,0 +1,141 @@
+"""Text-channel signature functions.
+
+All shingle construction and band hashing is pure JVM-side column expressions
+(whole-stage codegen; SURVEY.md §4 O11). The only Python is the MinHash
+signature pandas UDF, which is numpy-vectorized over Arrow batches
+(input_hint: "no per-row Python").
+
+Parity notes: the reference hashes points into multi-table LSH keys inside
+the external KNiNe library (call sites reference ReliefFFeatureSelector.scala:
+156-175); here the analogous key is the banded MinHash over word k-shingles,
+and the banding is an explicit, inspectable column expression.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from relieff_lsh_spark.config import DedupConfig
+
+_MERSENNE61 = (1 << 61) - 1
+
+
+def tokens_expr(col: str | Column = "transcript") -> Column:
+    """Whitespace tokens, empties removed. JVM-side."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
+
+
+def shingle_hashes_expr(tokens: Column, k: int, distinct: bool = True) -> Column:
+    """array<bigint> of xxhash64 over word k-shingles. Positional order kept
+    when distinct=False (needed by winnowing). Short/empty texts -> [].
+
+    JVM-side: sequence + transform + slice + concat_ws + xxhash64.
+    """
+    n = F.size(tokens)
+    shingled = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(tokens, i + 1, k))),
+    )
+    out = F.when(n >= k, shingled).otherwise(F.array().cast("array<bigint>"))
+    return F.array_distinct(out) if distinct else out
+
+
+def minimizer_keys_expr(tokens: Column, k: int, w: int) -> Column:
+    """Winnowing minimizer keys (document fingerprinting): the min shingle
+    hash of every w-wide window over the positional k-shingle sequence.
+    Any shared verbatim span of >= k+w-1 words shares at least one key —
+    this is the substring-duplicate candidate channel (SURVEY.md §2.9
+    suffix_substr_keys; winnowing per Schleimer et al. 2003, public).
+    """
+    hashes = shingle_hashes_expr(tokens, k, distinct=False)
+    n = F.size(hashes)
+    wins = F.transform(
+        F.sequence(F.lit(0), n - w),
+        lambda i: F.array_min(F.slice(hashes, i + 1, w)),
+    )
+    return F.array_distinct(
+        F.when(n >= w, wins).otherwise(
+            # fewer shingles than the window: emit what exists (>=1 shingle)
+            F.when(n > 0, F.array_distinct(hashes)).otherwise(
+                F.array().cast("array<bigint>")
+            )
+        )
+    )
+
+
+def minhash_params(cfg: DedupConfig) -> tuple[np.ndarray, np.ndarray]:
+    """Seeded universal-hash coefficients (a*h + b mod 2^61-1)."""
+    rng = np.random.default_rng(cfg.seed ^ 0x5EED_1111)
+    a = rng.integers(1, _MERSENNE61, cfg.n_perms, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _MERSENNE61, cfg.n_perms, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def make_minhash_udf(cfg: DedupConfig):
+    """pandas UDF: array<bigint> shingle hashes -> array<bigint> MinHash sig.
+
+    Vectorized per batch: for each row a (n_perms x n_shingles) uint64 matrix
+    min-reduced along shingles. Empty shingle sets get the sentinel max
+    signature (they can only band-collide with other empty sets; those are
+    filtered before banding anyway).
+    """
+    a, b = minhash_params(cfg)
+    n_perms = cfg.n_perms
+    sentinel = np.full(n_perms, _MERSENNE61 - 1, dtype=np.uint64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def minhash(shingles: pd.Series) -> pd.Series:
+        out = []
+        for row in shingles:
+            if row is None or len(row) == 0:
+                out.append(sentinel.astype(np.int64))
+                continue
+            h = np.asarray(row, dtype=np.int64).astype(np.uint64)
+            # (a*h+b) mod M61; uint64 wraparound on the multiply is fine for
+            # a hash family — we fold with a final mod for spread.
+            m = (a[:, None] * h[None, :] + b[:, None]) % _MERSENNE61
+            out.append(m.min(axis=1).astype(np.int64))
+        return pd.Series(out)
+
+    return minhash
+
+
+def band_hashes_expr(sig: Column, cfg: DedupConfig) -> Column:
+    """array<bigint>[bands]: xxhash64 of each r-row slice of the signature,
+    salted with the band index so identical slices in different bands never
+    collide. JVM-side."""
+    r = cfg.rows_per_band
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(cfg.bands - 1)),
+        lambda bnd: F.xxhash64(
+            F.concat_ws(",", F.transform(F.slice(sig, bnd * r + 1, r),
+                                         lambda v: v.cast("string"))),
+            bnd,
+        ),
+    )
+
+
+def text_signatures(corpus: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """corpus -> (clip_id, shingles, minhash, text_bands, substr_keys,
+    n_shingles). Narrow (no shuffle); the `bytes` column never enters."""
+    minhash_udf = make_minhash_udf(cfg)
+    toks = tokens_expr("transcript")
+    df = corpus.select(
+        "clip_id",
+        shingle_hashes_expr(toks, cfg.shingle_k).alias("shingles"),
+        minimizer_keys_expr(toks, cfg.substr_k, cfg.substr_window).alias("substr_keys"),
+    )
+    df = df.withColumn("minhash", minhash_udf("shingles"))
+    return df.select(
+        "clip_id",
+        "shingles",
+        "substr_keys",
+        "minhash",
+        band_hashes_expr(F.col("minhash"), cfg).alias("text_bands"),
+        F.size("shingles").alias("n_shingles"),
+    )

@@ -1,0 +1,93 @@
+"""Candidate-pair generation: the capped, salted band self-join.
+
+This is the core join (SURVEY.md §2.3 J4): points sharing an LSH bucket are
+paired, with the `a < b` predicate inside the join condition so the pair
+space is halved before anything is materialized (the reference's x<y filter,
+ReliefFFeatureSelector.scala:128, pushed into the join per SURVEY.md §4 O2).
+
+Skew policy (SURVEY.md §4 O6/O7 — the maxComparisons analog, R:159/173):
+  bucket count <= cap                 : join as-is (salt 0)
+  cap < count <= cap * salt_factor    : salt into salt_factor sub-buckets
+                                        (per-band salt assignment, so different
+                                        bands cut a hot group differently and
+                                        transitive closure still links it)
+  count > cap * salt_factor           : drop the bucket, COUNT THE DROPS
+                                        (no silent truncation)
+
+Scale notes: the bucket-count side table is joined back on the band keys —
+the same keys the self-join shuffles on, so AQE reuses the exchange; with
+10^12 rows the counts table is still ~|distinct buckets| and never collected.
+The explicit repartition on the full join key precedes the self-join
+(north_rule requirement).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from relieff_lsh_spark.config import DedupConfig
+
+BUCKET_KEYS = ["channel", "band_id", "band_hash"]
+
+
+@dataclass
+class CandidateStats:
+    dropped_buckets: int
+    dropped_rows: int
+    salted_buckets: int
+
+
+def band_candidates(
+    bands: DataFrame, cfg: DedupConfig, shuffle_partitions: int | None = None
+) -> tuple[DataFrame, CandidateStats]:
+    """bands -> distinct candidate pairs (a, b, channels: array<string>)."""
+    counts = bands.groupBy(*BUCKET_KEYS).agg(F.count("*").alias("bucket_n"))
+
+    cap, factor = cfg.bucket_cap, cfg.salt_factor
+    annotated = bands.join(counts, BUCKET_KEYS)
+
+    dropped = annotated.where(F.col("bucket_n") > cap * factor)
+    drop_row = dropped.groupBy().agg(
+        F.count("*").alias("rows"),
+        F.countDistinct(*BUCKET_KEYS).alias("buckets"),
+    ).collect()[0]
+
+    kept = annotated.where(F.col("bucket_n") <= cap * factor).withColumn(
+        "salt",
+        F.when(
+            F.col("bucket_n") > cap,
+            F.pmod(F.xxhash64("clip_id", "band_id", "channel"), F.lit(factor)),
+        ).otherwise(F.lit(0)),
+    )
+    salted_buckets = (
+        kept.where(F.col("bucket_n") > cap).select(*BUCKET_KEYS).distinct().count()
+    )
+
+    join_keys = BUCKET_KEYS + ["salt"]
+    n_part = shuffle_partitions or cfg.shuffle_partitions
+    # explicit repartition by the signature-band key ahead of the self-join
+    # (north_rule); both join sides inherit this partitioning.
+    kept = kept.repartition(n_part, *join_keys)
+
+    a, b = kept.alias("a"), kept.alias("b")
+    pairs = (
+        a.join(b, join_keys)
+        .where(F.col("a.clip_id") < F.col("b.clip_id"))
+        .select(
+            F.col("a.clip_id").alias("a"),
+            F.col("b.clip_id").alias("b"),
+            F.col("channel"),
+        )
+        .distinct()
+    )
+    cand = pairs.groupBy("a", "b").agg(F.collect_set("channel").alias("channels"))
+
+    stats = CandidateStats(
+        dropped_buckets=int(drop_row["buckets"] or 0),
+        dropped_rows=int(drop_row["rows"] or 0),
+        salted_buckets=int(salted_buckets),
+    )
+    return cand, stats

