@@ -1,0 +1,263 @@
+"""Document-table dedup operators with cross-engine-deterministic hashing.
+
+These mirror the corpus pipeline's text channel (shingle -> MinHash -> band
+-> bucket self-join -> exact-Jaccard verify) but use md5 hex strings as the
+hash primitive so the exact same computation is expressible in ANSI SQL —
+the driver's DuckDB oracle replays each stage and must match value-for-value
+(CORRECTNESS gate). The corpus pipeline itself uses xxhash64 (faster,
+JVM-native); the algorithms are identical.
+
+All Spark-side shingling/minhashing is narrow column expressions (no
+shuffle until the band self-join); the DuckDB oracles compute the same
+relations relationally. Parameters are fixed here (not DedupConfig) so the
+oracle SQL strings stay self-contained: K=5 word shingles, 16 perms,
+4 bands x 4 rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+K = 5
+N_PERMS = 16
+BANDS = 4
+ROWS = 4
+CLONE_OFFSET = 100000
+
+
+def tokens(col="text"):
+    return F.filter(F.split(F.col(col), " "), lambda t: t != "")
+
+
+def shingles_expr(toks, k: int = K):
+    """Distinct word k-shingle strings (array<string>); [] if too short."""
+    n = F.size(toks)
+    sh = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+    return F.array_distinct(
+        F.when(n >= k, sh).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def minhash_expr(sh):
+    """array<string>[N_PERMS]: lexicographic-min md5 over salted shingles.
+    Deterministic and engine-independent (md5 hex is md5 hex)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(N_PERMS - 1)),
+        lambda i: F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat(i.cast("string"), F.lit(":"), s)))
+        ),
+    )
+
+
+def band_hashes(mh):
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(BANDS - 1)),
+        lambda b: F.md5(F.concat_ws(",", F.slice(mh, b * ROWS + 1, ROWS))),
+    )
+
+
+def augmented_docs(docs: DataFrame) -> DataFrame:
+    """documents ∪ a deterministic near-dup clone of each (drop first word,
+    doc_id + CLONE_OFFSET) — planted duplicates so the LSH demo is
+    non-trivial on data that has no natural dups."""
+    base = docs.select("doc_id", "text")
+    toks = tokens("text")
+    clones = docs.select(
+        (F.col("doc_id") + CLONE_OFFSET).alias("doc_id"),
+        F.array_join(F.slice(toks, 2, F.size(toks) - 1), " ").alias("text"),
+    )
+    return base.unionByName(clones)
+
+
+# ---- queries ----------------------------------------------------------------
+
+def q_dedup_exact(docs: DataFrame) -> DataFrame:
+    """Exact dedup by content hash over the augmented corpus (clones keep the
+    text of a doc whose first word equals its second... no: clones differ;
+    exact groups come from planting a verbatim copy instead)."""
+    base = docs.select("doc_id", "text")
+    copies = docs.select((F.col("doc_id") + CLONE_OFFSET).alias("doc_id"), "text")
+    both = base.unionByName(copies)
+    return (
+        both.groupBy(F.md5("text").alias("text_hash"))
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min("doc_id").alias("canonical_id"),
+        )
+        .where(F.col("n_dups") > 1)
+    )
+
+
+def q_shingle_stats(docs: DataFrame) -> DataFrame:
+    toks = tokens("text")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(shingles_expr(toks)).alias("n_shingles"),
+    )
+
+
+def q_minhash_sigs(docs: DataFrame) -> DataFrame:
+    sh = shingles_expr(tokens("text"))
+    return (
+        docs.where(F.size(tokens("text")) >= K)
+        .select("doc_id", F.posexplode(minhash_expr(sh)).alias("perm_id", "minhash"))
+    )
+
+
+def q_lsh_bands(docs: DataFrame) -> DataFrame:
+    sh = shingles_expr(tokens("text"))
+    return (
+        docs.where(F.size(tokens("text")) >= K)
+        .select("doc_id", F.posexplode(band_hashes(minhash_expr(sh))).alias("band_id", "band_hash"))
+    )
+
+
+def q_lsh_candidates(docs: DataFrame) -> DataFrame:
+    """Banded-MinHash candidate pairs over the augmented corpus: the corpus
+    pipeline's core band self-join (SURVEY.md §2.3 J4) on the documents
+    table, fully SQL-replayable."""
+    bands = q_lsh_bands(augmented_docs(docs))
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, ["band_id", "band_hash"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+        .distinct()
+    )
+
+
+def q_jaccard_verify(docs: DataFrame) -> DataFrame:
+    """Exact-Jaccard verification of the LSH candidates (threshold 0.5)."""
+    aug = augmented_docs(docs)
+    sh = aug.select("doc_id", shingles_expr(tokens("text")).alias("sh"))
+    cand = q_lsh_candidates(docs)
+    j = (
+        cand.join(sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a")), "a")
+        .join(sh.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b")), "b")
+        .withColumn("n_int", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_int")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("n_int")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= 0.5)
+        .select("a", "b", "jaccard")
+    )
+    return j
+
+
+# ---- DuckDB oracle SQL -------------------------------------------------------
+
+_TOKS = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+
+def _sh_cte(src: str) -> str:
+    """CTE producing (doc_id, shingle) distinct word-5-shingles of `src`."""
+    return f"""
+      toks AS (SELECT doc_id, {_TOKS} AS tk FROM {src}),
+      sh AS (
+        SELECT doc_id, unnest(list_distinct(
+          CASE WHEN len(tk) >= {K}
+               THEN list_transform(generate_series(1, len(tk) - {K - 1}),
+                                   i -> array_to_string(tk[i:i+{K - 1}], ' '))
+               ELSE []::varchar[] END)) AS shingle
+        FROM toks)
+    """
+
+
+_AUG = f"""
+  aug AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + {CLONE_OFFSET} AS doc_id,
+           array_to_string(({_TOKS})[2:len({_TOKS})], ' ') AS text
+    FROM documents)
+"""
+
+_MH_FROM_SH = f"""
+  mh AS (
+    SELECT sh.doc_id, p.perm_id,
+           min(md5(p.perm_id::varchar || ':' || sh.shingle)) AS minhash
+    FROM sh CROSS JOIN (SELECT unnest(generate_series(0, {N_PERMS - 1})) AS perm_id) p
+    GROUP BY 1, 2),
+  bands AS (
+    SELECT doc_id, perm_id // {ROWS} AS band_id,
+           md5(string_agg(minhash, ',' ORDER BY perm_id)) AS band_hash
+    FROM mh GROUP BY doc_id, perm_id // {ROWS})
+"""
+
+SQL_DEDUP_EXACT = f"""
+WITH both_t AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {CLONE_OFFSET}, text FROM documents)
+SELECT md5(text) AS text_hash, count(*) AS n_dups, min(doc_id) AS canonical_id
+FROM both_t GROUP BY 1 HAVING count(*) > 1
+"""
+
+SQL_SHINGLE_STATS = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents)
+SELECT doc_id, len(tk) AS n_tokens,
+       CASE WHEN len(tk) >= {K}
+            THEN len(list_distinct(list_transform(
+                   generate_series(1, len(tk) - {K - 1}),
+                   i -> array_to_string(tk[i:i+{K - 1}], ' '))))
+            ELSE 0 END AS n_shingles
+FROM toks
+"""
+
+SQL_MINHASH_SIGS = f"""
+WITH {_sh_cte('documents')},
+  mh AS (
+    SELECT sh.doc_id, p.perm_id,
+           min(md5(p.perm_id::varchar || ':' || sh.shingle)) AS minhash
+    FROM sh CROSS JOIN (SELECT unnest(generate_series(0, {N_PERMS - 1})) AS perm_id) p
+    GROUP BY 1, 2)
+SELECT doc_id, perm_id, minhash FROM mh
+"""
+
+SQL_LSH_BANDS = f"""
+WITH {_sh_cte('documents')},
+{_MH_FROM_SH}
+SELECT doc_id, band_id, band_hash FROM bands
+"""
+
+SQL_LSH_CANDIDATES = f"""
+WITH {_AUG},
+{_sh_cte('aug')},
+{_MH_FROM_SH}
+SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+FROM bands a JOIN bands b
+  ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+ AND a.doc_id < b.doc_id
+"""
+
+SQL_JACCARD_VERIFY = f"""
+WITH {_AUG},
+{_sh_cte('aug')},
+{_MH_FROM_SH},
+cand AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.a, c.b, count(*) AS n_int
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.a
+  JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2)
+SELECT i.a, i.b,
+       round(n_int / (za.n + zb.n - n_int), 6) AS jaccard
+FROM inter i JOIN sizes za ON za.doc_id = i.a JOIN sizes zb ON zb.doc_id = i.b
+WHERE round(n_int / (za.n + zb.n - n_int), 6) >= 0.5
+"""

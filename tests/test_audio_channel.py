@@ -1,0 +1,88 @@
+"""Audio channel: decode, fingerprint robustness, SimHash, Spark UDF."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from relieff_lsh_spark.config import DedupConfig
+from relieff_lsh_spark.functions.audio import (
+    audio_signatures,
+    decode_pcm,
+    simhash64,
+    simhash_planes,
+    spectral_fingerprint,
+)
+from relieff_lsh_spark.sources.corpus import RowSpec, _render_pcm, _wav_bytes
+
+
+def _clip(freqs, sr=16000, dur_ms=1500, noise_seed=1, extra_db=np.inf):
+    spec = RowSpec(
+        group_id="g", kind="x", sr_hz=sr, dur_ms=dur_ms,
+        freqs=np.array(freqs, float), amps=np.ones(len(freqs)),
+        phases=np.zeros(len(freqs)), noise_seed=noise_seed, extra_noise_db=extra_db,
+    )
+    pcm = _render_pcm(spec)
+    return _wav_bytes(pcm, sr)
+
+
+def _ham(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def test_decode_roundtrip():
+    buf = _clip([440.0, 880.0])
+    x, sr = decode_pcm(buf, "pcm_s16le")
+    assert sr == 16000
+    assert len(x) == 24000
+    assert np.abs(x).max() <= 1.0
+
+
+def test_decode_unknown_codec_stub():
+    with pytest.raises(NotImplementedError):
+        decode_pcm(b"\x00" * 64, "opus")
+
+
+def test_fingerprint_noise_robust(cfg):
+    """audio_near contract: same signal + SNR-35dB noise -> hamming <= 3."""
+    planes = simhash_planes(cfg)
+    base = _clip([300.0, 1200.0, 2500.0], noise_seed=10)
+    noisy = _clip([300.0, 1200.0, 2500.0], noise_seed=99, extra_db=35.0)
+    h1 = simhash64(spectral_fingerprint(decode_pcm(base, "pcm_s16le")[0], 16000, cfg), planes)
+    h2 = simhash64(spectral_fingerprint(decode_pcm(noisy, "pcm_s16le")[0], 16000, cfg), planes)
+    assert _ham(h1, h2) <= cfg.hamming_max
+
+
+def test_fingerprint_discriminates(cfg):
+    planes = simhash_planes(cfg)
+    rng = np.random.default_rng(5)
+    hashes = []
+    for _ in range(12):
+        freqs = rng.uniform(100, 3700, rng.integers(2, 5))
+        buf = _clip(freqs, noise_seed=int(rng.integers(1 << 30)))
+        x, sr = decode_pcm(buf, "pcm_s16le")
+        hashes.append(simhash64(spectral_fingerprint(x, sr, cfg), planes))
+    dists = [_ham(hashes[i], hashes[j])
+             for i in range(len(hashes)) for j in range(i + 1, len(hashes))]
+    assert min(dists) > cfg.hamming_max, f"unrelated clips too close: {min(dists)}"
+
+
+def test_short_clip_padded(cfg):
+    x = np.zeros(100, dtype=np.float32)  # shorter than fft_window
+    fp = spectral_fingerprint(x, 8000, cfg)
+    assert fp.shape == (cfg.n_freq_bands,)
+    assert np.all(np.isfinite(fp))
+
+
+def test_audio_signatures_spark_matches_local(spark, cfg, tiny_corpus_dir):
+    corpus = spark.read.parquet(f"{tiny_corpus_dir}/corpus.parquet").limit(20)
+    rows = audio_signatures(corpus, cfg).collect()
+    pdf = corpus.select("clip_id", "bytes", "codec").toPandas().set_index("clip_id")
+    planes = simhash_planes(cfg)
+    for r in rows:
+        buf = bytes(pdf.loc[r["clip_id"], "bytes"])
+        x, sr = decode_pcm(buf, pdf.loc[r["clip_id"], "codec"])
+        expect = simhash64(spectral_fingerprint(x, sr, cfg), planes)
+        assert r["simhash"] == expect
+        assert r["n_samples"] == len(x)

@@ -1,0 +1,60 @@
+"""Connected components: propagation fixpoint vs union-find ground truth."""
+
+from __future__ import annotations
+
+from relieff_lsh_spark.operators.components import connected_components, pair_recall
+from relieff_lsh_spark.plans.oracle import UnionFind
+
+
+def _run(spark, edges, vertices):
+    e = spark.createDataFrame(edges, ["a", "b"])
+    v = spark.createDataFrame([(x,) for x in vertices], ["clip_id"])
+    res = connected_components(e, v)
+    return {r["clip_id"]: r["component_id"] for r in res.components.collect()}, res
+
+
+def test_chain_and_singletons(spark):
+    vertices = [f"v{i}" for i in range(8)]
+    edges = [("v0", "v1"), ("v1", "v2"), ("v2", "v3"), ("v5", "v6")]
+    got, res = _run(spark, edges, vertices)
+    assert res.converged
+    assert got["v0"] == got["v1"] == got["v2"] == got["v3"] == "v0"
+    assert got["v5"] == got["v6"] == "v5"
+    assert got["v4"] == "v4" and got["v7"] == "v7"
+
+
+def test_matches_union_find_random(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    vertices = [f"n{i:03d}" for i in range(120)]
+    edges = []
+    for _ in range(100):
+        i, j = rng.integers(0, 120, 2)
+        if i != j:
+            a, b = sorted((vertices[i], vertices[j]))
+            edges.append((a, b))
+    got, res = _run(spark, edges, vertices)
+    uf = UnionFind(vertices)
+    for a, b in edges:
+        uf.union(a, b)
+    want = {v: uf.find(v) for v in vertices}
+    assert got == want
+    assert res.converged
+
+
+def test_pair_recall_contingency(spark):
+    oracle = spark.createDataFrame(
+        [("a", "g1"), ("b", "g1"), ("c", "g1"), ("d", "g2"), ("e", "g2"), ("f", "g3")],
+        ["clip_id", "component_id"],
+    )
+    # result splits g1 into {a,b} + {c}: catches 1 of g1's 3 pairs + g2's 1 pair
+    result = spark.createDataFrame(
+        [("a", "r1"), ("b", "r1"), ("c", "r2"), ("d", "r3"), ("e", "r3"), ("f", "r4")],
+        ["clip_id", "component_id"],
+    )
+    m = pair_recall(result, oracle)
+    assert m["oracle_pairs"] == 4.0
+    assert m["agree_pairs"] == 2.0
+    assert m["recall"] == 0.5
+    assert m["precision"] == 1.0

@@ -1,0 +1,120 @@
+"""Text channel: JVM shingling, MinHash UDF, banding, minimizer keys."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from relieff_lsh_spark.config import DedupConfig
+from relieff_lsh_spark.functions.text import (
+    band_hashes_expr,
+    make_minhash_udf,
+    minimizer_keys_expr,
+    shingle_hashes_expr,
+    text_signatures,
+    tokens_expr,
+)
+from relieff_lsh_spark.plans.oracle import jaccard, shingle_set
+
+
+def _sig_df(spark, cfg, texts):
+    df = spark.createDataFrame(
+        [(f"c{i:04d}", t) for i, t in enumerate(texts)], ["clip_id", "transcript"]
+    )
+    return text_signatures(df, cfg)
+
+
+def test_shingle_counts_match_python(spark, cfg):
+    texts = [
+        "a b c d e f g",            # 7 tokens -> 3 distinct 5-shingles
+        "a a a a a a",              # repeated -> 1 distinct shingle
+        "one two three four",       # 4 tokens < k -> 0
+        "",                         # empty -> 0
+        "  padded   spacing  here and more words  ",
+    ]
+    rows = (
+        spark.createDataFrame([(t,) for t in texts], ["transcript"])
+        .select(F.size(shingle_hashes_expr(tokens_expr("transcript"), cfg.shingle_k)).alias("n"))
+        .collect()
+    )
+    got = [r["n"] for r in rows]
+    want = [len(shingle_set(t, cfg.shingle_k)) for t in texts]
+    assert got == want
+
+
+def test_identical_text_identical_signature(spark, cfg):
+    sigs = _sig_df(spark, cfg, ["w1 w2 w3 w4 w5 w6 w7 w8"] * 2).collect()
+    assert sigs[0]["minhash"] == sigs[1]["minhash"]
+    assert sigs[0]["text_bands"] == sigs[1]["text_bands"]
+
+
+def test_minhash_estimates_jaccard(spark, cfg):
+    """MinHash agreement ~ true Jaccard (within statistical tolerance)."""
+    base = [f"w{i}" for i in range(60)]
+    variant = list(base)
+    variant[30] = "XXX"  # 1 substitution
+    t1, t2 = " ".join(base), " ".join(variant)
+    true_j = jaccard(shingle_set(t1, cfg.shingle_k), shingle_set(t2, cfg.shingle_k))
+    rows = _sig_df(spark, cfg, [t1, t2]).orderBy("clip_id").collect()
+    m1, m2 = np.array(rows[0]["minhash"]), np.array(rows[1]["minhash"])
+    est = float((m1 == m2).mean())
+    assert abs(est - true_j) < 0.15
+    # banding: near-dup pair must share >= 1 band (OR-construction recall)
+    b1, b2 = rows[0]["text_bands"], rows[1]["text_bands"]
+    assert any(x == y for x, y in zip(b1, b2))
+
+
+def test_unrelated_texts_share_no_band(spark, cfg):
+    rng = np.random.default_rng(0)
+    texts = [" ".join(f"t{rng.integers(0, 10_000)}" for _ in range(40)) for _ in range(20)]
+    rows = _sig_df(spark, cfg, texts).collect()
+    bands = [r["text_bands"] for r in rows]
+    for i in range(len(bands)):
+        for j in range(i + 1, len(bands)):
+            shared = sum(x == y for x, y in zip(bands[i], bands[j]))
+            assert shared == 0
+
+
+def test_minimizer_keys_catch_substring(spark, cfg):
+    inner = "alpha beta gamma delta epsilon zeta"
+    outer = f"pre1 pre2 pre3 {inner} post1 post2"
+    rows = (
+        spark.createDataFrame([(inner,), (outer,)], ["transcript"])
+        .select(
+            minimizer_keys_expr(
+                tokens_expr("transcript"), cfg.substr_k, cfg.substr_window
+            ).alias("keys")
+        )
+        .collect()
+    )
+    k_in, k_out = set(rows[0]["keys"]), set(rows[1]["keys"])
+    assert k_in & k_out, "contained transcript must share a minimizer key"
+
+
+def test_minimizer_short_text_still_keyed(spark, cfg):
+    rows = (
+        spark.createDataFrame([("a b c d",), ("a b c",), ("",)], ["transcript"])
+        .select(
+            F.size(
+                minimizer_keys_expr(
+                    tokens_expr("transcript"), cfg.substr_k, cfg.substr_window
+                )
+            ).alias("n")
+        )
+        .collect()
+    )
+    ns = [r["n"] for r in rows]
+    assert ns[0] >= 1      # exactly k tokens -> 1 shingle -> keyed
+    assert ns[1] == 0      # < k tokens: no shingle, no key
+    assert ns[2] == 0
+
+
+def test_band_hash_band_index_salted(spark, cfg):
+    """Identical r-slices in different bands must not collide (band id is
+    part of the hash)."""
+    sig = list(range(cfg.n_perms))
+    # constant signature -> identical slice contents across all bands
+    df = spark.createDataFrame([([7] * cfg.n_perms,)], ["minhash"])
+    row = df.select(band_hashes_expr(F.col("minhash"), cfg).alias("b")).collect()[0]
+    assert len(set(row["b"])) == cfg.bands
