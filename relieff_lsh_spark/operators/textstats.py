@@ -1,0 +1,122 @@
+"""Text-analysis operators over the documents table: token stats, quality
+scoring, stopword-ratio language heuristic, document fingerprinting.
+
+Each query is a narrow, codegen'd column-expression pipeline with a
+matching DuckDB oracle SQL string (value-identical by construction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from relieff_lsh_spark.operators.dedup_docs import K, shingles_expr, tokens
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+
+def q_token_stats(docs: DataFrame) -> DataFrame:
+    toks = tokens("text")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars_text"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.round(
+            F.aggregate(toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t))
+            / F.size(toks),
+            6,
+        ).alias("avg_token_len"),
+    )
+
+
+def q_quality_score(docs: DataFrame) -> DataFrame:
+    """Length + lexical-diversity quality heuristic (training-data filter)."""
+    toks = tokens("text")
+    diversity = F.size(F.array_distinct(toks)) / F.size(toks)
+    length_ok = (F.size(toks) >= 20) & (F.size(toks) <= 1000)
+    return docs.select(
+        "doc_id",
+        F.round(diversity, 6).alias("diversity"),
+        length_ok.cast("int").alias("length_ok"),
+        F.round(diversity * length_ok.cast("int"), 6).alias("quality"),
+    )
+
+
+def q_stopword_langid(docs: DataFrame) -> DataFrame:
+    """Stopword-density language heuristic: declared-lang vs text-evidence."""
+    toks = tokens("text")
+    stop = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    ratio = F.round(n_stop / F.size(toks), 6)
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_stop.alias("n_stopwords"),
+        ratio.alias("stopword_ratio"),
+        F.when(ratio >= 0.05, F.lit("en_like")).otherwise(F.lit("other")).alias("lang_guess"),
+    )
+
+
+def q_doc_fingerprint(docs: DataFrame) -> DataFrame:
+    """Winnowing-style fingerprint: lexicographic min/max md5 over the
+    document's shingle set (the corpus pipeline's minimizer-key idea at
+    sketch size 2)."""
+    sh = shingles_expr(tokens("text"))
+    hashes = F.transform(sh, lambda s: F.md5(s))
+    return docs.where(F.size(sh) > 0).select(
+        "doc_id",
+        F.array_min(hashes).alias("fp_min"),
+        F.array_max(hashes).alias("fp_max"),
+        F.size(sh).alias("n_shingles"),
+    )
+
+
+_TOKS = "list_filter(string_split(text, ' '), t -> t <> '')"
+_STOP_SQL = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+
+SQL_TOKEN_STATS = f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS tk FROM documents)
+SELECT doc_id,
+       len(tk) AS n_tokens,
+       length(text) AS n_chars_text,
+       len(list_distinct(tk)) AS n_distinct_tokens,
+       round(list_sum(list_transform(tk, x -> length(x))) * 1.0 / len(tk), 6) AS avg_token_len
+FROM t
+"""
+
+SQL_QUALITY_SCORE = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents)
+SELECT doc_id,
+       round(len(list_distinct(tk)) * 1.0 / len(tk), 6) AS diversity,
+       CASE WHEN len(tk) BETWEEN 20 AND 1000 THEN 1 ELSE 0 END AS length_ok,
+       round(len(list_distinct(tk)) * 1.0 / len(tk)
+             * (CASE WHEN len(tk) BETWEEN 20 AND 1000 THEN 1 ELSE 0 END), 6) AS quality
+FROM t
+"""
+
+SQL_STOPWORD_LANGID = f"""
+WITH t AS (SELECT doc_id, lang, {_TOKS} AS tk FROM documents)
+SELECT doc_id, lang,
+       len(list_filter(tk, x -> list_contains({_STOP_SQL}, x))) AS n_stopwords,
+       round(len(list_filter(tk, x -> list_contains({_STOP_SQL}, x))) * 1.0 / len(tk), 6)
+         AS stopword_ratio,
+       CASE WHEN round(len(list_filter(tk, x -> list_contains({_STOP_SQL}, x))) * 1.0
+                       / len(tk), 6) >= 0.05
+            THEN 'en_like' ELSE 'other' END AS lang_guess
+FROM t
+"""
+
+SQL_DOC_FINGERPRINT = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+           generate_series(1, len(tk) - {K - 1}),
+           i -> array_to_string(tk[i:i+{K - 1}], ' '))) AS shingles
+  FROM toks WHERE len(tk) >= {K})
+SELECT doc_id,
+       list_min(list_transform(shingles, s -> md5(s))) AS fp_min,
+       list_max(list_transform(shingles, s -> md5(s))) AS fp_max,
+       len(shingles) AS n_shingles
+FROM sh WHERE len(shingles) > 0
+"""
