@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Bench harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...},
+   "sf": ..., "extra": {...}}
+
+Each query is forced end-to-end with the noop sink (full materialization —
+count() alone would let Catalyst prune the expensive columns). The audio
+dedup pipeline runs on a cached deterministically-generated corpus
+(BENCH_AUDIO_N clips) and reports clips/sec.
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   input dir              (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[N] + shuffle width (default 32)
+  BENCH_QUERIES        comma list to run a subset (default all)
+  BENCH_AUDIO_N        corpus size for the audio e2e (default 4000)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+AUDIO_N = int(os.environ.get("BENCH_AUDIO_N", "4000"))
+
+HEADLINE = [
+    "q_lsh_candidates",
+    "q_jaccard_verify",
+    "q_minhash_sigs",
+    "q_dedup_exact",
+    "q_token_stats",
+    "q_doc_fingerprint",
+    "q_knn_bruteforce",
+    "q_embedding_neardup",
+    "q_topk_per_group",
+    "q_broadcast_dim_join",
+    "q_range_normalize",
+    "q_hourly_user_activity",
+    "audio_dedup_e2e",
+]
+
+
+def _bench_corpus_dir() -> str:
+    d = os.path.join(REPO, "BENCH", "_work", f"corpus_n{AUDIO_N}_s42")
+    marker = os.path.join(d, "_SUCCESS_GEN")
+    if not os.path.exists(marker):
+        from relieff_lsh_spark.sources.corpus import write_corpus
+
+        write_corpus(AUDIO_N, d, seed=42, batch_rows=250)
+        open(marker, "w").close()
+    return d
+
+
+def main() -> None:
+    from relieff_lsh_spark.session import get_spark
+
+    only = os.environ.get("BENCH_QUERIES")
+    names = [n for n in HEADLINE if not only or n in only.split(",")]
+
+    # pre-generate outside the timed region
+    corpus_dir = _bench_corpus_dir() if "audio_dedup_e2e" in names else None
+
+    spark = get_spark(
+        app_name="relieff-lsh-bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS,
+        extra_conf={"spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024)},
+    )
+
+    import __spark_entry__ as entrymod
+
+    qmap = entrymod.queries()
+    timings: dict[str, float] = {}
+    extra: dict[str, object] = {"cpus": CPUS, "audio_n": AUDIO_N}
+
+    for name in names:
+        t0 = time.time()
+        if name == "audio_dedup_e2e":
+            from relieff_lsh_spark.config import DedupConfig
+            from relieff_lsh_spark.plans.dedup_pipeline import DedupPipeline
+
+            wh = tempfile.mkdtemp(prefix="bench_wh_")
+            pipe = DedupPipeline(
+                spark,
+                DedupConfig(shuffle_partitions=CPUS),
+                wh,
+                os.path.join(corpus_dir, "corpus.parquet"),
+            )
+            pipe.run(resume=False)
+            dt = time.time() - t0
+            extra["audio_clips_per_sec"] = round(AUDIO_N / dt, 2)
+            extra["audio_stage_seconds"] = {
+                s: pipe.metrics[s].get("seconds") for s in
+                ("signatures", "candidates", "verified", "components")
+            }
+            shutil.rmtree(wh, ignore_errors=True)
+        else:
+            df = qmap[name](spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+        timings[name] = round(dt, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(json.dumps({
+        "metric": "headline_query_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "extra": extra,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,17 +1,27 @@
 """Document-table dedup operators with cross-engine-deterministic hashing.
 
 These mirror the corpus pipeline's text channel (shingle -> MinHash -> band
--> bucket self-join -> exact-Jaccard verify) but use md5 hex strings as the
-hash primitive so the exact same computation is expressible in ANSI SQL —
-the driver's DuckDB oracle replays each stage and must match value-for-value
-(CORRECTNESS gate). The corpus pipeline itself uses xxhash64 (faster,
-JVM-native); the algorithms are identical.
+-> bucket self-join -> exact-Jaccard verify) but use md5 as the hash
+primitive so the exact same computation is expressible in ANSI SQL — the
+driver's DuckDB oracle replays each stage and must match value-for-value.
+The corpus pipeline itself uses xxhash64 (faster, JVM-native); the
+algorithms are identical.
 
-All Spark-side shingling/minhashing is narrow column expressions (no
-shuffle until the band self-join); the DuckDB oracles compute the same
-relations relationally. Parameters are fixed here (not DedupConfig) so the
-oracle SQL strings stay self-contained: K=5 word shingles, 16 perms,
-4 bands x 4 rows.
+Performance shape (deliberate):
+  * ONE md5 per shingle; the N_PERMS permutations are cheap integer
+    arithmetic (a_i*h + b_i mod p) over the 32-bit prefix — never N_PERMS
+    md5 calls per shingle.
+  * signatures are built in separate projections, each alias referenced
+    multiple times downstream, so Catalyst's CollapseProject keeps the
+    boundaries and every stage is evaluated once per row (re-evaluating the
+    shingle array inside 16 permutation branches is the 10-100x trap).
+  * the band self-join runs over a localCheckpoint'ed signature relation —
+    the in-query analog of the pipeline's snapshot between the signature
+    and candidate stages (a self-join on an unmaterialized subtree computes
+    the whole signature plan twice).
+
+Parameters fixed (not DedupConfig) so the oracle SQL stays self-contained:
+K=5 word shingles, 16 perms, 4 bands x 4 rows.
 """
 
 from __future__ import annotations
@@ -24,6 +34,7 @@ N_PERMS = 16
 BANDS = 4
 ROWS = 4
 CLONE_OFFSET = 100000
+MOD = 2147483647  # 2^31-1; (2^32)*(2*15+1) << 2^63, overflow-safe in both engines
 
 
 def tokens(col="text"):
@@ -42,21 +53,45 @@ def shingles_expr(toks, k: int = K):
     )
 
 
-def minhash_expr(sh):
-    """array<string>[N_PERMS]: lexicographic-min md5 over salted shingles.
-    Deterministic and engine-independent (md5 hex is md5 hex)."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(N_PERMS - 1)),
-        lambda i: F.array_min(
-            F.transform(sh, lambda s: F.md5(F.concat(i.cast("string"), F.lit(":"), s)))
-        ),
+def _h32(s):
+    """First 32 bits of md5 as bigint — portable across Spark and DuckDB."""
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint")
+
+
+def _perm(i: int):
+    """Single-arg lambda factory: pyspark's F.transform interprets a
+    two-parameter callable as (element, index), so the permutation index
+    must be captured in a closure, never as a second lambda parameter."""
+    def f(h):
+        return (h * (2 * i + 1) + (7919 * i + 13)) % MOD
+    return f
+
+
+def signature_df(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh, mh, bands) with staged, evaluate-once projections."""
+    d1 = docs.select("doc_id", shingles_expr(tokens("text")).alias("sh")).where(
+        F.size("sh") > 0
     )
-
-
-def band_hashes(mh):
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(BANDS - 1)),
-        lambda b: F.md5(F.concat_ws(",", F.slice(mh, b * ROWS + 1, ROWS))),
+    d2 = d1.select(
+        "doc_id", "sh",
+        F.transform(F.col("sh"), _h32).alias("shh"),
+    )
+    d3 = d2.select(
+        "doc_id", "sh",
+        F.array(*[
+            F.array_min(F.transform(F.col("shh"), _perm(i)))
+            for i in range(N_PERMS)
+        ]).alias("mh"),
+    )
+    return d3.select(
+        "doc_id", "sh", "mh",
+        F.array(*[
+            F.md5(F.concat_ws(",", F.transform(
+                F.slice(F.col("mh"), b * ROWS + 1, ROWS),
+                lambda v: v.cast("string"),
+            )))
+            for b in range(BANDS)
+        ]).alias("bands"),
     )
 
 
@@ -73,12 +108,25 @@ def augmented_docs(docs: DataFrame) -> DataFrame:
     return base.unionByName(clones)
 
 
+def _bands_long(sig: DataFrame) -> DataFrame:
+    return sig.select("doc_id", F.posexplode("bands").alias("band_id", "band_hash"))
+
+
+def _candidates_from(sig: DataFrame) -> DataFrame:
+    bands = _bands_long(sig)
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, ["band_id", "band_hash"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+        .distinct()
+    )
+
+
 # ---- queries ----------------------------------------------------------------
 
 def q_dedup_exact(docs: DataFrame) -> DataFrame:
-    """Exact dedup by content hash over the augmented corpus (clones keep the
-    text of a doc whose first word equals its second... no: clones differ;
-    exact groups come from planting a verbatim copy instead)."""
+    """Exact dedup by content hash (verbatim copies planted at CLONE_OFFSET)."""
     base = docs.select("doc_id", "text")
     copies = docs.select((F.col("doc_id") + CLONE_OFFSET).alias("doc_id"), "text")
     both = base.unionByName(copies)
@@ -102,41 +150,29 @@ def q_shingle_stats(docs: DataFrame) -> DataFrame:
 
 
 def q_minhash_sigs(docs: DataFrame) -> DataFrame:
-    sh = shingles_expr(tokens("text"))
-    return (
-        docs.where(F.size(tokens("text")) >= K)
-        .select("doc_id", F.posexplode(minhash_expr(sh)).alias("perm_id", "minhash"))
+    return signature_df(docs).select(
+        "doc_id", F.posexplode("mh").alias("perm_id", "minhash")
     )
 
 
 def q_lsh_bands(docs: DataFrame) -> DataFrame:
-    sh = shingles_expr(tokens("text"))
-    return (
-        docs.where(F.size(tokens("text")) >= K)
-        .select("doc_id", F.posexplode(band_hashes(minhash_expr(sh))).alias("band_id", "band_hash"))
-    )
+    return _bands_long(signature_df(docs))
 
 
 def q_lsh_candidates(docs: DataFrame) -> DataFrame:
     """Banded-MinHash candidate pairs over the augmented corpus: the corpus
     pipeline's core band self-join (SURVEY.md §2.3 J4) on the documents
     table, fully SQL-replayable."""
-    bands = q_lsh_bands(augmented_docs(docs))
-    a, b = bands.alias("a"), bands.alias("b")
-    return (
-        a.join(b, ["band_id", "band_hash"])
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
-        .distinct()
-    )
+    sig = signature_df(augmented_docs(docs)).localCheckpoint()
+    return _candidates_from(sig)
 
 
 def q_jaccard_verify(docs: DataFrame) -> DataFrame:
     """Exact-Jaccard verification of the LSH candidates (threshold 0.5)."""
-    aug = augmented_docs(docs)
-    sh = aug.select("doc_id", shingles_expr(tokens("text")).alias("sh"))
-    cand = q_lsh_candidates(docs)
-    j = (
+    sig = signature_df(augmented_docs(docs)).localCheckpoint()
+    cand = _candidates_from(sig)
+    sh = sig.select("doc_id", "sh")
+    return (
         cand.join(sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a")), "a")
         .join(sh.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b")), "b")
         .withColumn("n_int", F.size(F.array_intersect("sh_a", "sh_b")))
@@ -151,12 +187,13 @@ def q_jaccard_verify(docs: DataFrame) -> DataFrame:
         .where(F.col("jaccard") >= 0.5)
         .select("a", "b", "jaccard")
     )
-    return j
 
 
 # ---- DuckDB oracle SQL -------------------------------------------------------
 
 _TOKS = "list_filter(string_split(text, ' '), t -> t <> '')"
+_H32 = "('0x' || substr(md5(shingle), 1, 8))::BIGINT"
+_PERM = f"(({_H32}) * (2*p.perm_id+1) + (7919*p.perm_id+13)) % {MOD}"
 
 
 def _sh_cte(src: str) -> str:
@@ -184,14 +221,21 @@ _AUG = f"""
 
 _MH_FROM_SH = f"""
   mh AS (
-    SELECT sh.doc_id, p.perm_id,
-           min(md5(p.perm_id::varchar || ':' || sh.shingle)) AS minhash
+    SELECT sh.doc_id, p.perm_id, min({_PERM}) AS minhash
     FROM sh CROSS JOIN (SELECT unnest(generate_series(0, {N_PERMS - 1})) AS perm_id) p
     GROUP BY 1, 2),
   bands AS (
     SELECT doc_id, perm_id // {ROWS} AS band_id,
-           md5(string_agg(minhash, ',' ORDER BY perm_id)) AS band_hash
+           md5(string_agg(minhash::varchar, ',' ORDER BY perm_id)) AS band_hash
     FROM mh GROUP BY doc_id, perm_id // {ROWS})
+"""
+
+_CAND = """
+  cand AS (
+    SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id)
 """
 
 SQL_DEDUP_EXACT = f"""
@@ -216,11 +260,7 @@ FROM toks
 
 SQL_MINHASH_SIGS = f"""
 WITH {_sh_cte('documents')},
-  mh AS (
-    SELECT sh.doc_id, p.perm_id,
-           min(md5(p.perm_id::varchar || ':' || sh.shingle)) AS minhash
-    FROM sh CROSS JOIN (SELECT unnest(generate_series(0, {N_PERMS - 1})) AS perm_id) p
-    GROUP BY 1, 2)
+{_MH_FROM_SH}
 SELECT doc_id, perm_id, minhash FROM mh
 """
 
@@ -233,22 +273,16 @@ SELECT doc_id, band_id, band_hash FROM bands
 SQL_LSH_CANDIDATES = f"""
 WITH {_AUG},
 {_sh_cte('aug')},
-{_MH_FROM_SH}
-SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-FROM bands a JOIN bands b
-  ON a.band_id = b.band_id AND a.band_hash = b.band_hash
- AND a.doc_id < b.doc_id
+{_MH_FROM_SH},
+{_CAND}
+SELECT a, b FROM cand
 """
 
 SQL_JACCARD_VERIFY = f"""
 WITH {_AUG},
 {_sh_cte('aug')},
 {_MH_FROM_SH},
-cand AS (
-  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-  FROM bands a JOIN bands b
-    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
-   AND a.doc_id < b.doc_id),
+{_CAND},
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
 inter AS (
   SELECT c.a, c.b, count(*) AS n_int
