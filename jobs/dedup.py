@@ -86,6 +86,12 @@ def main(argv: list[str] | None = None) -> dict:
         app_name="relieff-lsh-dedup",
         master=args.master,
         shuffle_partitions=args.shuffle_partitions,
+        # Small input splits so the fused decode/fingerprint UDF scan
+        # parallelizes to the full core count even on few large files
+        # (split floor is the parquet row group; the corpus generator
+        # writes 500-row groups). Identical at every parallelism level,
+        # so scaling comparisons stay fair.
+        extra_conf={"spark.sql.files.maxPartitionBytes": str(32 * 1024 * 1024)},
     )
 
     t0 = time.time()

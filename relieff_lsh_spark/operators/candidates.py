@@ -47,23 +47,25 @@ def band_candidates(
     counts = bands.groupBy(*BUCKET_KEYS).agg(F.count("*").alias("bucket_n"))
 
     cap, factor = cfg.bucket_cap, cfg.salt_factor
-    annotated = bands.join(counts, BUCKET_KEYS)
 
-    dropped = annotated.where(F.col("bucket_n") > cap * factor)
-    drop_row = dropped.groupBy().agg(
-        F.count("*").alias("rows"),
-        F.countDistinct(*BUCKET_KEYS).alias("buckets"),
+    # All skew-policy counters come from ONE action over the aggregated
+    # counts relation (|distinct buckets| rows) — never a second pass over
+    # the full bands relation.
+    hot = F.col("bucket_n") > cap * factor
+    warm = (F.col("bucket_n") > cap) & ~hot
+    stats_row = counts.agg(
+        F.coalesce(F.sum(F.when(hot, F.col("bucket_n"))), F.lit(0)).alias("rows"),
+        F.count(F.when(hot, 1)).alias("buckets"),
+        F.count(F.when(warm, 1)).alias("salted"),
     ).collect()[0]
 
+    annotated = bands.join(counts, BUCKET_KEYS)
     kept = annotated.where(F.col("bucket_n") <= cap * factor).withColumn(
         "salt",
         F.when(
             F.col("bucket_n") > cap,
             F.pmod(F.xxhash64("clip_id", "band_id", "channel"), F.lit(factor)),
         ).otherwise(F.lit(0)),
-    )
-    salted_buckets = (
-        kept.where(F.col("bucket_n") > cap).select(*BUCKET_KEYS).distinct().count()
     )
 
     join_keys = BUCKET_KEYS + ["salt"]
@@ -81,13 +83,14 @@ def band_candidates(
             F.col("b.clip_id").alias("b"),
             F.col("channel"),
         )
-        .distinct()
     )
+    # collect_set dedups channels and groupBy dedups (a, b) — no separate
+    # distinct() pass (it would be a second full shuffle of the pair relation).
     cand = pairs.groupBy("a", "b").agg(F.collect_set("channel").alias("channels"))
 
     stats = CandidateStats(
-        dropped_buckets=int(drop_row["buckets"] or 0),
-        dropped_rows=int(drop_row["rows"] or 0),
-        salted_buckets=int(salted_buckets),
+        dropped_buckets=int(stats_row["buckets"] or 0),
+        dropped_rows=int(stats_row["rows"] or 0),
+        salted_buckets=int(stats_row["salted"] or 0),
     )
     return cand, stats
