@@ -80,6 +80,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lsh_bands": lambda s, d: dd.q_lsh_bands(_docs(s, d)),
         "q_lsh_candidates": lambda s, d: dd.q_lsh_candidates(_docs(s, d)),
         "q_jaccard_verify": lambda s, d: dd.q_jaccard_verify(_docs(s, d)),
+        "q_simhash_text": lambda s, d: dd.q_simhash_text(_docs(s, d)),
+        "q_simhash_neardup": lambda s, d: dd.q_simhash_neardup(_docs(s, d)),
         # --- text analysis over documents ---
         "q_token_stats": lambda s, d: ts.q_token_stats(_docs(s, d)),
         "q_quality_score": lambda s, d: ts.q_quality_score(_docs(s, d)),
@@ -112,6 +114,8 @@ def oracle_sql() -> dict[str, str]:
         "q_lsh_bands": dd.SQL_LSH_BANDS,
         "q_lsh_candidates": dd.SQL_LSH_CANDIDATES,
         "q_jaccard_verify": dd.SQL_JACCARD_VERIFY,
+        "q_simhash_text": dd.SQL_SIMHASH_TEXT,
+        "q_simhash_neardup": dd.SQL_SIMHASH_NEARDUP,
         "q_token_stats": ts.SQL_TOKEN_STATS,
         "q_quality_score": ts.SQL_QUALITY_SCORE,
         "q_stopword_langid": ts.SQL_STOPWORD_LANGID,

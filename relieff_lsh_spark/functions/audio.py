@@ -130,3 +130,25 @@ def audio_signatures(corpus: DataFrame, cfg: DedupConfig) -> DataFrame:
     return corpus.select("clip_id", "bytes", "codec").mapInPandas(
         compute, schema=SIGNATURE_SCHEMA
     )
+
+
+def make_simhash_udf(cfg: DedupConfig):
+    """Scalar Arrow UDF (bytes, codec) -> simhash: the fused
+    decode/fingerprint/SimHash path as a projection column, so the whole
+    signature table is ONE narrow scan (no per-channel scans, no join to
+    merge text and audio signatures — at 10^12 rows that join is a full
+    shuffle of every signature).
+    """
+    from pyspark.sql import functions as F
+
+    planes = simhash_planes(cfg)
+
+    @F.pandas_udf(T.LongType())
+    def simhash_sig(buf: pd.Series, codec: pd.Series) -> pd.Series:
+        out = np.empty(len(buf), dtype=np.int64)
+        for i, (b, c) in enumerate(zip(buf, codec)):
+            x, sr = decode_pcm(bytes(b), c)
+            out[i] = simhash64(spectral_fingerprint(x, sr, cfg), planes)
+        return pd.Series(out)
+
+    return simhash_sig

@@ -1,0 +1,51 @@
+"""Fused per-clip signature projection: ONE narrow scan of the corpus
+producing every channel's signature columns, no join.
+
+The original design computed text and audio signatures as separate scans
+merged with a shuffle join on clip_id; diagnosing the scaling bench showed
+that stage spending most of its wall clock outside the actual signature
+math (extra corpus scans, the join exchange, and socket traffic for a
+second UDF pass). One projection = one scan, `bytes` consumed by the
+scalar SimHash UDF at the source and never shuffled (SURVEY.md §4 O10).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from relieff_lsh_spark.config import DedupConfig
+from relieff_lsh_spark.functions.audio import make_simhash_udf
+from relieff_lsh_spark.functions.text import (
+    band_hashes_expr,
+    make_minhash_udf,
+    minimizer_keys_expr,
+    shingle_hashes_expr,
+    tokens_expr,
+)
+
+
+def clip_signatures(corpus: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """corpus -> (clip_id, transcript, shingles, substr_keys, simhash,
+    minhash, text_bands, n_shingles). Narrow; bytes dies at the scan."""
+    minhash_udf = make_minhash_udf(cfg)
+    simhash_udf = make_simhash_udf(cfg)
+    toks = tokens_expr("transcript")
+    df = corpus.select(
+        "clip_id",
+        "transcript",
+        shingle_hashes_expr(toks, cfg.shingle_k).alias("shingles"),
+        minimizer_keys_expr(toks, cfg.substr_k, cfg.substr_window).alias("substr_keys"),
+        simhash_udf("bytes", "codec").alias("simhash"),
+    )
+    df = df.withColumn("minhash", minhash_udf("shingles"))
+    return df.select(
+        "clip_id",
+        "transcript",
+        "shingles",
+        "substr_keys",
+        "simhash",
+        "minhash",
+        band_hashes_expr(F.col("minhash"), cfg).alias("text_bands"),
+        F.size("shingles").alias("n_shingles"),
+    )

@@ -123,6 +123,34 @@ def _candidates_from(sig: DataFrame) -> DataFrame:
     )
 
 
+SIM_BITS = 16
+SIM_BANDS = 4
+SIM_BAND_BITS = SIM_BITS // SIM_BANDS
+SIM_HAMMING_MAX = 2  # 4 bands pigeonhole-guarantee recall up to hamming 3
+
+
+def simhash_df(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash) — 16-bit SimHash by per-bit majority vote over the
+    distinct shingle hashes (the corpus pipeline's audio SimHash-64 re-expressed
+    over text with md5 so DuckDB can replay it bit-for-bit). Explode + hash-agg:
+    partial aggregation makes the vote map-side combinable."""
+    d1 = docs.select("doc_id", shingles_expr(tokens("text")).alias("sh")).where(
+        F.size("sh") > 0
+    )
+    rows = d1.select("doc_id", F.explode(F.transform("sh", _h32)).alias("h"))
+    votes = rows.groupBy("doc_id").agg(*[
+        F.sum(
+            F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"v{i}")
+        for i in range(SIM_BITS)
+    ])
+    packed = None
+    for i in range(SIM_BITS):
+        term = F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        packed = term if packed is None else packed + term
+    return votes.select("doc_id", packed.cast("bigint").alias("simhash"))
+
+
 # ---- queries ----------------------------------------------------------------
 
 def q_dedup_exact(docs: DataFrame) -> DataFrame:
@@ -186,6 +214,45 @@ def q_jaccard_verify(docs: DataFrame) -> DataFrame:
         )
         .where(F.col("jaccard") >= 0.5)
         .select("a", "b", "jaccard")
+    )
+
+
+def q_simhash_text(docs: DataFrame) -> DataFrame:
+    """Per-document 16-bit SimHash signature."""
+    return simhash_df(docs)
+
+
+def q_simhash_neardup(docs: DataFrame) -> DataFrame:
+    """SimHash near-duplicate pairs over the augmented corpus: band the 16-bit
+    signature into 4 x 4-bit chunks (pigeonhole: any pair with hamming <= 3
+    collides on >= 1 chunk), self-join on the chunk, verify with
+    bit_count(xor) <= 2 — the audio channel's candidate->verify shape
+    (SURVEY.md §2.7 L1/L2) on SQL-replayable text."""
+    sig = simhash_df(augmented_docs(docs)).localCheckpoint()
+    mask = (1 << SIM_BAND_BITS) - 1
+    chunks = F.array(*[
+        F.shiftrightunsigned(F.col("simhash"), b * SIM_BAND_BITS)
+        .bitwiseAND(F.lit(mask))
+        for b in range(SIM_BANDS)
+    ])
+    bands = sig.select("doc_id", F.posexplode(chunks).alias("band_id", "chunk"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, ["band_id", "chunk"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("a"), F.col("simhash").alias("sim_a"))
+    sb = sig.select(F.col("doc_id").alias("b"), F.col("simhash").alias("sim_b"))
+    return (
+        cand.join(sa, "a").join(sb, "b")
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("int"),
+        )
+        .where(F.col("hamming") <= SIM_HAMMING_MAX)
+        .select("a", "b", "hamming")
     )
 
 
@@ -294,4 +361,45 @@ SELECT i.a, i.b,
        round(n_int / (za.n + zb.n - n_int), 6) AS jaccard
 FROM inter i JOIN sizes za ON za.doc_id = i.a JOIN sizes zb ON zb.doc_id = i.b
 WHERE round(n_int / (za.n + zb.n - n_int), 6) >= 0.5
+"""
+
+_VOTES = ", ".join(
+    f"sum(2 * ((h >> {i}) & 1) - 1) AS v{i}" for i in range(SIM_BITS)
+)
+_PACK = " + ".join(
+    f"CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(SIM_BITS)
+)
+
+
+def _sim_cte(src_sh: str = "sh") -> str:
+    """CTEs (doc_id, shingle) -> sim(doc_id, simhash)."""
+    return f"""
+  shh AS (SELECT doc_id, {_H32} AS h FROM {src_sh}),
+  votes AS (SELECT doc_id, {_VOTES} FROM shh GROUP BY doc_id),
+  sim AS (SELECT doc_id, ({_PACK})::BIGINT AS simhash FROM votes)
+"""
+
+
+SQL_SIMHASH_TEXT = f"""
+WITH {_sh_cte('documents')},
+{_sim_cte()}
+SELECT doc_id, simhash FROM sim
+"""
+
+SQL_SIMHASH_NEARDUP = f"""
+WITH {_AUG},
+{_sh_cte('aug')},
+{_sim_cte()},
+chunks AS (
+  SELECT doc_id, band_id, (simhash >> ({SIM_BAND_BITS} * band_id)) & {(1 << SIM_BAND_BITS) - 1} AS chunk
+  FROM sim CROSS JOIN (SELECT unnest(generate_series(0, {SIM_BANDS - 1})) AS band_id)),
+scand AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM chunks a JOIN chunks b
+    ON a.band_id = b.band_id AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+SELECT c.a, c.b, bit_count(xor(sa.simhash, sb.simhash))::INT AS hamming
+FROM scand c
+JOIN sim sa ON sa.doc_id = c.a
+JOIN sim sb ON sb.doc_id = c.b
+WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {SIM_HAMMING_MAX}
 """

@@ -30,8 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from relieff_lsh_spark.config import DedupConfig
-from relieff_lsh_spark.functions.audio import audio_signatures
-from relieff_lsh_spark.functions.text import text_signatures
+from relieff_lsh_spark.functions.signatures import clip_signatures
 from relieff_lsh_spark.operators.banding import all_bands
 from relieff_lsh_spark.operators.candidates import band_candidates
 from relieff_lsh_spark.operators.components import connected_components
@@ -60,17 +59,11 @@ class DedupPipeline:
 
     # -- stages --------------------------------------------------------------
     def stage_signatures(self) -> DataFrame:
-        """One joined signature table: text sigs (JVM shingles + MinHash UDF)
-        x audio sigs (fused decode/fingerprint/SimHash UDF). The join is on
-        clip_id; `bytes` dies inside the audio UDF and never shuffles."""
-        corpus = self.corpus()
-        text = text_signatures(corpus, self.cfg)
-        audio = audio_signatures(corpus, self.cfg)
-        sigs = (
-            text.join(audio, "clip_id")
-            .join(corpus.select("clip_id", "transcript"), "clip_id")
-        )
-        return sigs
+        """One fused signature projection: text sigs (JVM shingles + MinHash
+        UDF) and audio sigs (scalar decode/fingerprint/SimHash UDF) in a
+        single narrow scan — no join, `bytes` dies at the scan and never
+        shuffles."""
+        return clip_signatures(self.corpus(), self.cfg)
 
     def stage_candidates(self, sigs: DataFrame) -> tuple[DataFrame, dict]:
         corpus = self.corpus()

@@ -12,6 +12,9 @@ import os
 
 from pyspark.sql import SparkSession
 
+_DRIVER_MEM = os.environ.get("SPARK_DRIVER_MEM", "16g")
+GC_JVM_FLAGS = "-XX:+AlwaysPreTouch -XX:ParallelGCThreads=8 -XX:ConcGCThreads=2"
+
 
 def get_spark(
     app_name: str = "relieff_lsh_spark",
@@ -40,8 +43,20 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        # Modest Arrow batches: audio rows carry ~75KB binary payloads, so
+        # 2048-row batches meant ~150MB socket transfers per worker in
+        # flight — measured as kernel-time churn on the scaling bench.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+        .config("spark.driver.memory", _DRIVER_MEM)
+        # Fixed, pre-touched heap + capped GC threads: with a lazily
+        # committed heap, G1's parallel GC threads page-fault constantly
+        # (measured: 81% system time at local[32], 2.3x wall-clock).
+        # Only effective for plain-python launches; spark-submit users pass
+        # the same via --driver-memory/--conf (see BENCH/scaling.py).
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-Xms{_DRIVER_MEM} {GC_JVM_FLAGS}",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

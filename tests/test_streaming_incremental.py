@@ -1,0 +1,91 @@
+"""Structured-Streaming incremental dedup: new files arriving in a directory
+are signed, banded against existing state, and verified — and the accumulated
+edge set yields the SAME components as the batch pipeline over the full
+corpus (cross-batch duplicates must be found, not just intra-batch ones).
+Also exercises checkpoint resume: the second `availableNow` run processes
+only files added since the first run.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from relieff_lsh_spark.config import DedupConfig
+from relieff_lsh_spark.operators.components import pair_recall
+from relieff_lsh_spark.plans.dedup_pipeline import DedupPipeline
+from relieff_lsh_spark.streaming.incremental import IncrementalDedup
+
+
+@pytest.fixture(scope="module")
+def split_corpus(spark, tiny_corpus_dir, tmp_path_factory):
+    """The tiny corpus split into two parquet files (odd/even row index) so
+    duplicate groups straddle the split."""
+    root = tmp_path_factory.mktemp("stream")
+    in_dir = str(root / "incoming")
+    os.makedirs(in_dir, exist_ok=True)
+    corpus = spark.read.parquet(os.path.join(tiny_corpus_dir, "corpus.parquet"))
+    part = F.pmod(F.xxhash64("clip_id"), F.lit(2))
+    for i in (0, 1):
+        corpus.where(part == i).coalesce(1).write.mode("overwrite").parquet(
+            str(root / f"staged_{i}")
+        )
+    return str(root), in_dir, str(root / "staged_0"), str(root / "staged_1")
+
+
+def _copy_parts(src_dir: str, dst_dir: str, tag: str) -> None:
+    import shutil
+
+    for f in os.listdir(src_dir):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(src_dir, f), os.path.join(dst_dir, f"{tag}_{f}"))
+
+
+def test_incremental_matches_batch(spark, cfg: DedupConfig, tiny_corpus_dir,
+                                   split_corpus, tmp_path):
+    root, in_dir, staged0, staged1 = split_corpus
+    state = str(tmp_path / "state")
+
+    # --- first arrival: half the corpus
+    _copy_parts(staged0, in_dir, "t0")
+    inc = IncrementalDedup(spark, cfg, state)
+    inc.run_available_now(in_dir)
+    n_first = sum(s["new_clips"] for s in inc.batch_stats)
+    assert n_first > 0
+
+    # --- second arrival: the rest; resume from the stream checkpoint
+    _copy_parts(staged1, in_dir, "t1")
+    inc2 = IncrementalDedup(spark, cfg, state)
+    inc2.run_available_now(in_dir)
+    n_second = sum(s["new_clips"] for s in inc2.batch_stats)
+    assert n_first + n_second == 300  # every clip processed exactly once
+
+    stream_comps = inc2.components().components.localCheckpoint()
+
+    # --- batch reference on the full corpus, same config
+    pipe = DedupPipeline(
+        spark, cfg, str(tmp_path / "wh"),
+        os.path.join(tiny_corpus_dir, "corpus.parquet"),
+    )
+    pipe.run(resume=False)
+    batch_comps = pipe.catalog.read("components")
+
+    m = pair_recall(stream_comps, batch_comps)
+    assert m["recall"] == 1.0, m        # every batch-found dup pair found
+    assert m["precision"] == 1.0, m     # and nothing extra
+
+
+def test_rerun_without_new_files_is_noop(spark, cfg: DedupConfig, split_corpus,
+                                         tmp_path):
+    root, in_dir, staged0, _ = split_corpus
+    state = str(tmp_path / "state2")
+    inc = IncrementalDedup(spark, cfg, state)
+    inc.run_available_now(in_dir)
+    edges_before = inc.verified_edges().count()
+
+    inc2 = IncrementalDedup(spark, cfg, state)
+    inc2.run_available_now(in_dir)
+    assert inc2.batch_stats == []  # checkpoint: nothing reprocessed
+    assert inc2.verified_edges().count() == edges_before
