@@ -54,18 +54,20 @@ def _cpu_jiffies() -> tuple[int, int]:
     return vals[7], sum(vals)
 
 
+def _burn(_):
+    t0 = time.time()
+    x = 0
+    while time.time() - t0 < 3.0:
+        x += 1
+    return x
+
+
 def _host_ceiling() -> dict:
     """Pure-CPU aggregate speedup LO -> HI procs: the efficiency any
     workload could at best show on this (shared) host."""
     import multiprocessing as mp
 
-    def burn(_):
-        t0 = time.time()
-        x = 0
-        while time.time() - t0 < 3.0:
-            x += 1
-        return x
-
+    burn = _burn
     agg = {}
     for n in (LO, HI):
         with mp.Pool(n) as p:

@@ -50,12 +50,14 @@ HEADLINE = [
 
 
 def _bench_corpus_dir() -> str:
-    d = os.path.join(REPO, "BENCH", "_work", f"corpus_n{AUDIO_N}_s42")
+    # 100-row parquet row groups: scan parallelism is floored at the file's
+    # row-group count, so the corpus must have >> CPUS groups.
+    d = os.path.join(REPO, "BENCH", "_work", f"corpus_n{AUDIO_N}_s42_b100")
     marker = os.path.join(d, "_SUCCESS_GEN")
     if not os.path.exists(marker):
         from relieff_lsh_spark.sources.corpus import write_corpus
 
-        write_corpus(AUDIO_N, d, seed=42, batch_rows=250)
+        write_corpus(AUDIO_N, d, seed=42, batch_rows=100)
         open(marker, "w").close()
     return d
 
