@@ -40,7 +40,7 @@ N = int(os.environ.get("SCALE_N", "40000"))
 SEED = 42
 LO, HI = (int(x) for x in os.environ.get("SCALE_CPUS", "4,16").split(","))
 RATIO = HI / LO
-REPEATS = int(os.environ.get("SCALE_REPEATS", "2"))
+REPEATS = int(os.environ.get("SCALE_REPEATS", "3"))
 SPARK_SUBMIT = os.environ.get("SPARK_SUBMIT", "/opt/spark/bin/spark-submit")
 # 100-row parquet row groups: a scan cannot parallelize beyond the file's
 # row-group count, so the bench corpus must have >> HI row groups.
@@ -80,6 +80,8 @@ def _zip_pkg() -> str:
     dist = os.path.join(REPO, "dist")
     os.makedirs(dist, exist_ok=True)
     zpath = os.path.join(dist, "relieff_lsh_spark.zip")
+    if os.path.exists(zpath):
+        os.remove(zpath)  # zip -r UPDATES in place; stale entries mislead
     subprocess.run(
         ["zip", "-qr", zpath, "relieff_lsh_spark", "-x", "*__pycache__*"],
         cwd=REPO, check=True,
@@ -122,6 +124,9 @@ def _run(corpus: str, cpus: int, zpath: str, tag: str) -> dict:
         "--shuffle-partitions", str(max(cpus, 32)),
         "--metrics-out", mpath,
     ]
+    import resource
+
+    ru0 = resource.getrusage(resource.RUSAGE_CHILDREN)
     s0, t0j = _cpu_jiffies()
     t0 = time.time()
     r = subprocess.run(cmd, capture_output=True, text=True, timeout=7200)
@@ -130,10 +135,16 @@ def _run(corpus: str, cpus: int, zpath: str, tag: str) -> dict:
         raise RuntimeError(f"run {tag} failed")
     launch_wall = round(time.time() - t0, 1)
     s1, t1j = _cpu_jiffies()
+    ru1 = resource.getrusage(resource.RUSAGE_CHILDREN)
     with open(mpath) as f:
         m = json.load(f)
     m["launch_wall_seconds"] = launch_wall  # incl. JVM startup, for context
     m["steal_pct"] = round(100.0 * (s1 - s0) / max(t1j - t0j, 1), 2)
+    # process-tree CPU core-seconds (usr+sys): a noise-resistant secondary
+    # metric — wall clock on this shared VM varies up to 5x run-to-run.
+    m["cpu_core_seconds"] = round(
+        (ru1.ru_utime - ru0.ru_utime) + (ru1.ru_stime - ru0.ru_stime), 1
+    )
     subprocess.run(["rm", "-rf", wh], check=True)
     return m
 
@@ -179,6 +190,7 @@ def main() -> None:
                 "wall_seconds": runs[c]["wall_seconds"],
                 "clips_per_sec": runs[c]["clips_per_sec"],
                 "steal_pct": runs[c]["steal_pct"],
+                "cpu_core_seconds": runs[c]["cpu_core_seconds"],
                 "all_walls": [m["wall_seconds"] for m in attempts[c]],
                 "stage_seconds": {
                     s: runs[c]["stages"][s]["seconds"] for s in STAGES

@@ -34,6 +34,8 @@ class DedupConfig:
     fmax_hz: float = 4000.0     # analyze 0..4kHz (valid for all sr >= 8kHz)
     fft_window: int = 1024
     fft_hop: int = 512
+    max_fft_frames: int = 64    # evenly-spaced frame cap (mean-spectrum
+                                # estimator; bounds FFT memory bandwidth)
 
     # --- substring channel: winnowing minimizers over word shingles ---
     substr_k: int = 4           # shingle width for minimizer keys

@@ -19,7 +19,7 @@ from relieff_lsh_spark.functions.audio import make_simhash_udf
 from relieff_lsh_spark.functions.text import (
     band_hashes_expr,
     make_minhash_udf,
-    minimizer_keys_expr,
+    minimizer_keys_from,
     shingle_hashes_expr,
     tokens_expr,
 )
@@ -27,16 +27,28 @@ from relieff_lsh_spark.functions.text import (
 
 def clip_signatures(corpus: DataFrame, cfg: DedupConfig) -> DataFrame:
     """corpus -> (clip_id, transcript, shingles, substr_keys, simhash,
-    minhash, text_bands, n_shingles). Narrow; bytes dies at the scan."""
+    minhash, text_bands, n_shingles). Narrow; bytes dies at the scan.
+
+    Positional shingle-hash arrays are STAGED as projection columns, then
+    distinct/minimizer views derive from the materialized columns — inline
+    composition re-evaluates the hashing per window element (O(n^2)/row;
+    measured 116s of a 165s stage)."""
     minhash_udf = make_minhash_udf(cfg)
     simhash_udf = make_simhash_udf(cfg)
     toks = tokens_expr("transcript")
-    df = corpus.select(
+    staged = corpus.select(
         "clip_id",
         "transcript",
-        shingle_hashes_expr(toks, cfg.shingle_k).alias("shingles"),
-        minimizer_keys_expr(toks, cfg.substr_k, cfg.substr_window).alias("substr_keys"),
+        shingle_hashes_expr(toks, cfg.shingle_k, distinct=False).alias("pos_sh"),
+        shingle_hashes_expr(toks, cfg.substr_k, distinct=False).alias("pos_sub"),
         simhash_udf("bytes", "codec").alias("simhash"),
+    )
+    df = staged.select(
+        "clip_id",
+        "transcript",
+        "simhash",
+        F.array_distinct("pos_sh").alias("shingles"),
+        minimizer_keys_from(F.col("pos_sub"), cfg.substr_window).alias("substr_keys"),
     )
     df = df.withColumn("minhash", minhash_udf("shingles"))
     return df.select(

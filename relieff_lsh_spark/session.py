@@ -47,6 +47,12 @@ def get_spark(
         # 2048-row batches meant ~150MB socket transfers per worker in
         # flight — measured as kernel-time churn on the scaling bench.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+        # The JVM<->python-worker channel is the pipeline's hottest data
+        # path (all audio bytes flow through it once). Unix domain sockets
+        # skip the TCP loopback stack and a 1MB channel buffer cuts
+        # syscall count ~16x; on this VM kernel time dominated that path.
+        .config("spark.python.unix.domain.socket.enabled", "true")
+        .config("spark.buffer.size", str(1024 * 1024))
         .config("spark.driver.memory", _DRIVER_MEM)
         # Fixed, pre-touched heap + capped GC threads: with a lazily
         # committed heap, G1's parallel GC threads page-fault constantly
