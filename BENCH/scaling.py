@@ -95,7 +95,8 @@ def _corpus(n: int, seed: int) -> str:
     if not os.path.exists(marker):
         from relieff_lsh_spark.sources.corpus import write_corpus
 
-        write_corpus(n, d, seed=seed, batch_rows=BATCH_ROWS)
+        write_corpus(n, d, seed=seed, batch_rows=BATCH_ROWS,
+                     procs=int(os.environ.get("SCALE_GEN_PROCS", "16")))
         open(marker, "w").close()
     return os.path.join(d, "corpus.parquet")
 

@@ -207,21 +207,76 @@ CORPUS_SCHEMA = pa.schema([
 ])
 
 
+def _render_rows(chunk: list[RowSpec]) -> tuple[dict, int]:
+    rows = {k: [] for k in ("clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript")}
+    nbytes = 0
+    for s in chunk:
+        pcm = _render_pcm(s)
+        buf = _wav_bytes(pcm, s.sr_hz)
+        nbytes += len(buf)
+        rows["clip_id"].append(s.clip_id)
+        rows["bytes"].append(buf)
+        rows["sr_hz"].append(s.sr_hz)
+        rows["dur_ms"].append(s.dur_ms)
+        rows["codec"].append("pcm_s16le")
+        rows["transcript"].append(" ".join(s.words))
+    return rows, nbytes
+
+
+def _render_part(args: tuple[str, list[RowSpec], int]) -> int:
+    """Worker: render one contiguous spec slice into its own parquet part
+    file. Rendering is deterministic per spec (all randomness is in the
+    specs), so the parallel layout is value-identical to the sequential
+    single-file layout up to row order."""
+    out_path, specs_chunk, batch_rows = args
+    writer = pq.ParquetWriter(out_path, CORPUS_SCHEMA, compression="zstd")
+    total = 0
+    for lo in range(0, len(specs_chunk), batch_rows):
+        rows, nbytes = _render_rows(specs_chunk[lo:lo + batch_rows])
+        total += nbytes
+        writer.write_table(pa.table(rows, schema=CORPUS_SCHEMA))
+    writer.close()
+    return total
+
+
 def write_corpus(
     n_rows: int,
     out_dir: str,
     seed: int = 42,
     batch_rows: int = 1000,
     write_pcm_ref: bool = False,
+    procs: int = 1,
 ) -> dict:
     """Generate and write corpus + truth tables as parquet under out_dir.
 
     Returns summary counters. Idempotent for a given (n_rows, seed).
+    procs > 1 renders in parallel, writing corpus.parquet as a DIRECTORY of
+    part files (audio rendering is the bottleneck for bench-scale corpora);
+    requires write_pcm_ref=False.
     """
     os.makedirs(out_dir, exist_ok=True)
     specs = build_specs(n_rows, seed)
 
     corpus_path = os.path.join(out_dir, "corpus.parquet")
+    if procs > 1 and not write_pcm_ref:
+        import multiprocessing as mp
+        import shutil
+
+        if os.path.exists(corpus_path):
+            shutil.rmtree(corpus_path, ignore_errors=True)
+        os.makedirs(corpus_path)
+        bounds = [(i * len(specs) // procs, (i + 1) * len(specs) // procs)
+                  for i in range(procs)]
+        jobs = [
+            (os.path.join(corpus_path, f"part-{i:04d}.parquet"),
+             specs[lo:hi], batch_rows)
+            for i, (lo, hi) in enumerate(bounds) if hi > lo
+        ]
+        with mp.Pool(procs) as pool:
+            total_bytes = sum(pool.map(_render_part, jobs))
+        _write_truth(out_dir, specs)
+        return _summary(specs, total_bytes)
+
     writer = pq.ParquetWriter(corpus_path, CORPUS_SCHEMA, compression="zstd")
     pcm_writer = None
     if write_pcm_ref:
@@ -253,7 +308,11 @@ def write_corpus(
     if pcm_writer is not None:
         pcm_writer.close()
 
-    # truth tables
+    _write_truth(out_dir, specs)
+    return _summary(specs, total_bytes)
+
+
+def _write_truth(out_dir: str, specs: list[RowSpec]) -> None:
     comp = pa.table({
         "clip_id": [s.clip_id for s in specs],
         "component_id": [s.group_id for s in specs],
@@ -275,8 +334,14 @@ def write_corpus(
     pq.write_table(pa.table({"a": pa_a, "b": pa_b, "kind": pa_kind}),
                    os.path.join(out_dir, "truth_pairs.parquet"))
 
+
+def _summary(specs: list[RowSpec], total_bytes: int) -> dict:
     kinds: dict[str, int] = {}
     for s in specs:
         kinds[s.kind] = kinds.get(s.kind, 0) + 1
-    return {"n_rows": len(specs), "kinds": kinds, "truth_pairs": len(pa_a),
-            "bytes": total_bytes, "seed": seed}
+    n_pairs = sum(
+        v * (v - 1) // 2
+        for v in __import__("collections").Counter(s.group_id for s in specs).values()
+    )
+    return {"n_rows": len(specs), "kinds": kinds, "truth_pairs": n_pairs,
+            "bytes": total_bytes}
