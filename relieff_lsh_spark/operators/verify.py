@@ -39,34 +39,46 @@ def verify_candidates(
     channel — containment is meaningless for band-collision pairs and the
     string compare is the most expensive metric.
     """
+    # Minimal-column signature attach: only (simhash, shingles) ride the big
+    # shuffle. Transcripts are joined ONLY onto the substr-channel subset —
+    # shipping every transcript through both signature joins measurably
+    # flattened this stage's core scaling at 160k rows.
     sig_a = signatures.select(
         F.col("clip_id").alias("a"),
         F.col("simhash").alias("simhash_a"),
         F.col("shingles").alias("shingles_a"),
-        F.col("transcript").alias("t_a"),
     )
     sig_b = signatures.select(
         F.col("clip_id").alias("b"),
         F.col("simhash").alias("simhash_b"),
         F.col("shingles").alias("shingles_b"),
-        F.col("transcript").alias("t_b"),
     )
-    joined = cand.join(sig_a, "a").join(sig_b, "b")
+    joined = (
+        cand.join(sig_a, "a").join(sig_b, "b")
+        .withColumn("hamming", hamming64(F.col("simhash_a"), F.col("simhash_b")))
+        .withColumn("jaccard", jaccard_sets(F.col("shingles_a"), F.col("shingles_b")))
+    )
 
     is_substr_cand = F.array_contains(F.col("channels"), F.lit("substr"))
+    texts = signatures.select("clip_id", "transcript")
+    t_a = texts.select(F.col("clip_id").alias("a"), F.col("transcript").alias("t_a"))
+    t_b = texts.select(F.col("clip_id").alias("b"), F.col("transcript").alias("t_b"))
+    substr_part = (
+        joined.where(is_substr_cand)
+        .join(t_a, "a")
+        .join(t_b, "b")
+        .withColumn("substr_hit", substr_either(F.col("t_a"), F.col("t_b")))
+    )
+    rest_part = joined.where(~is_substr_cand).withColumn(
+        "substr_hit", F.lit(False)
+    )
     verified = (
-        joined.withColumn("hamming", hamming64(F.col("simhash_a"), F.col("simhash_b")))
-        .withColumn("jaccard", jaccard_sets(F.col("shingles_a"), F.col("shingles_b")))
-        .withColumn(
-            "substr_hit",
-            F.when(is_substr_cand, substr_either(F.col("t_a"), F.col("t_b")))
-            .otherwise(F.lit(False)),
-        )
+        rest_part.select(*VERIFIED_COLS)
+        .unionByName(substr_part.select(*VERIFIED_COLS))
         .where(
             (F.col("hamming") <= cfg.hamming_max)
             | (F.col("jaccard") >= cfg.jaccard_min)
             | F.col("substr_hit")
         )
-        .select(*VERIFIED_COLS)
     )
     return verified

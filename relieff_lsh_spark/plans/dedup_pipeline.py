@@ -79,7 +79,9 @@ class DedupPipeline:
         return verify_candidates(cand, sigs, self.cfg)
 
     def stage_components(self, verified: DataFrame) -> tuple[DataFrame, dict]:
-        vertices = self.corpus().select("clip_id")
+        # vertices from the signatures snapshot, not the raw corpus: same
+        # clip_id set, but a ~KB/row table instead of a ~75KB/row scan
+        vertices = self.catalog.read("signatures").select("clip_id")
         res = connected_components(verified.select("a", "b"), vertices)
         return res.components, {"iterations": res.iterations, "converged": res.converged}
 

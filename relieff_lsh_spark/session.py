@@ -16,6 +16,20 @@ _DRIVER_MEM = os.environ.get("SPARK_DRIVER_MEM", "16g")
 GC_JVM_FLAGS = "-XX:+AlwaysPreTouch -XX:ParallelGCThreads=8 -XX:ConcGCThreads=2"
 
 
+def _local_dir() -> str:
+    """Shuffle/spill dir: tmpfs when available — shuffle files on this VM's
+    disk were a flat, parallelism-independent cost (a real cluster would use
+    striped NVMe; RAM-backed local dirs are the sandbox equivalent)."""
+    if os.environ.get("SPARK_LOCAL_DIRS"):
+        return os.environ["SPARK_LOCAL_DIRS"]
+    shm = "/dev/shm/spark-local"
+    try:
+        os.makedirs(shm, exist_ok=True)
+        return shm
+    except OSError:
+        return "/tmp"
+
+
 def get_spark(
     app_name: str = "relieff_lsh_spark",
     master: str | None = None,
@@ -53,6 +67,7 @@ def get_spark(
         # syscall count ~16x; on this VM kernel time dominated that path.
         .config("spark.python.unix.domain.socket.enabled", "true")
         .config("spark.buffer.size", str(1024 * 1024))
+        .config("spark.local.dir", _local_dir())
         .config("spark.driver.memory", _DRIVER_MEM)
         # Fixed, pre-touched heap + capped GC threads: with a lazily
         # committed heap, G1's parallel GC threads page-fault constantly
