@@ -68,7 +68,9 @@ def connected_components(
             msgs.union(labels.select("v", "label"))
             .groupBy("v")
             .agg(F.min("label").alias("label"))
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
+        # the checksum action materializes the lazy checkpoint — one Spark
+        # job per iteration instead of two (materialize + check)
         new_sum = checksum(new_labels)
         labels = new_labels
         if new_sum == prev_sum:
