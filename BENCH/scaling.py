@@ -109,7 +109,11 @@ def _corpus(n: int, seed: int) -> str:
 
 
 def _run(corpus: str, cpus: int, zpath: str, tag: str) -> dict:
-    wh = os.path.join(REPO, "BENCH", "_work", f"wh_{tag}")
+    # warehouse (stage snapshots) in tmpfs too: each stage writes + re-reads
+    # its snapshot, and the ~150MB/s CPU-coupled virtual disk turns that
+    # into flat, parallelism-independent seconds per stage
+    wh_root = os.environ.get("SCALE_CORPUS_ROOT", "/dev/shm/spark_graft_bench")
+    wh = os.path.join(wh_root, f"wh_{tag}")
     subprocess.run(["rm", "-rf", wh], check=True)
     mpath = os.path.join(REPO, "BENCH", "_work", f"metrics_{tag}.json")
     mem = os.environ.get("SPARK_DRIVER_MEM", "16g")
