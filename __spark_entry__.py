@@ -122,8 +122,9 @@ def oracle_sql() -> dict[str, str]:
         "q_doc_fingerprint": ts.SQL_DOC_FINGERPRINT,
         "q_knn_bruteforce": knn.SQL_KNN_BRUTEFORCE,
         "q_embedding_neardup": knn.SQL_EMBEDDING_NEARDUP,
-        # q_simhash_ann_candidates: float-sum sign bits are engine-order
-        # sensitive -> rows-only check
+        # exact: fixed-point quantized embeddings x literal {+/-1} planes ->
+        # integer dot products, bit-identical across engines
+        "q_simhash_ann_candidates": knn.SQL_SIMHASH_ANN_CANDIDATES,
         # q_audio_dedup_components: binary audio + iterative fixpoint -> not
         # SQL-expressible; verified against the brute oracle in tests
     }

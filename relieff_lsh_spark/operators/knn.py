@@ -70,47 +70,84 @@ def q_embedding_neardup(emb: DataFrame) -> DataFrame:
     )
 
 
+ANN_DIM = 64        # embeddings table dimensionality
+ANN_PLANES = 16     # 16 sign bits -> two 8-bit bands
+ANN_BAND_BITS = 8
+ANN_QUANT = 1_000_000   # fixed-point scale: dot products are exact integers
+ANN_BUCKET_CAP = 64     # count-filtered skew cap (SQL-replayable drop tier)
+
+
+def ann_hyperplanes() -> list[list[int]]:
+    """Deterministic {+1,-1} hyperplane matrix (ANN_PLANES x ANN_DIM),
+    derived from md5 parity of "p{plane}:{dim}" — engine-independent, and
+    PRECOMPUTED here so the plan embeds it as literal arrays (Catalyst does
+    not constant-fold inside higher-order-function lambdas; deriving these
+    per row cost ~1024 md5 calls/row in the first implementation)."""
+    import hashlib
+
+    return [
+        [
+            1 if hashlib.md5(f"p{p}:{d}".encode()).hexdigest()[0] in "02468ace" else -1
+            for d in range(ANN_DIM)
+        ]
+        for p in range(ANN_PLANES)
+    ]
+
+
 def q_simhash_ann_candidates(emb: DataFrame) -> DataFrame:
     """Scale-path ANN: 16-bit random-hyperplane SimHash bands over embeddings
-    -> band self-join candidates (exactly the audio channel's multi-index).
-    Hyperplanes are derived from md5 of (plane, dim) so the construction is
-    engine-independent and SQL-replayable: weight = +1 if md5 hex digit
-    even else -1."""
-    dim = 64  # embeddings table dimensionality
-    n_planes = 16
+    -> count-capped band self-join (the audio channel's multi-index,
+    reference ReliefFFeatureSelector.scala:156-165, over embeddings).
 
-    def plane_expr(v, p):
-        # sign(sum_d w[p,d] * v[d]), w in {+1,-1} from md5 parity
-        terms = F.zip_with(
-            v,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda d: F.when(
-                    F.substring(F.md5(F.concat(F.lit(f"p{p}:"), d.cast("string"))), 1, 1)
-                    .isin(*list("02468ace")),
-                    F.lit(1.0),
-                ).otherwise(F.lit(-1.0)),
-            ),
-            lambda x, w: x * w,
+    Exactness contract: embeddings are quantized to fixed-point bigints
+    (round(x * 1e6)) and the hyperplane weights are {+1,-1} literals, so
+    every projection is exact integer arithmetic (|dot| < 2^33 << 2^53) and
+    the sign bits are bit-identical across engines — this is what makes the
+    DuckDB oracle possible where the float version was order-sensitive."""
+    from relieff_lsh_spark.operators.capped import capped_pairs
+
+    planes = ann_hyperplanes()
+    # one 2-D literal (16 x 64) + nested higher-order functions: a compact
+    # expression tree (unrolling 16 separate 64-wide aggregates made codegen
+    # compilation the dominant cost)
+    planes_lit = F.array(*[
+        F.array(*[F.lit(v) for v in row]) for row in planes
+    ])
+    vq = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * ANN_QUANT).cast("long"),
+    )
+    bits = F.transform(
+        planes_lit,
+        lambda w: (
+            F.aggregate(
+                F.zip_with(F.col("vq"), w, lambda x, s: x * s),
+                F.lit(0).cast("long"),
+                lambda acc, t: acc + t,
+            )
+            > 0
+        ).cast("int"),
+    )
+    staged = emb.select("vec_id", vq.alias("vq")).select(
+        "vec_id", bits.alias("bits")
+    )
+    pow2 = F.array(*[F.lit(1 << i) for i in range(ANN_BAND_BITS)])
+
+    def band(b: int):
+        chunk = F.slice(F.col("bits"), b * ANN_BAND_BITS + 1, ANN_BAND_BITS)
+        return F.aggregate(
+            F.zip_with(chunk, pow2, lambda x, w: x * w), F.lit(0),
+            lambda acc, t: acc + t,
         )
-        return (F.aggregate(terms, F.lit(0.0), lambda acc, t: acc + t) > 0).cast("int")
 
-    v = _dbl("embedding")
-    bits = [plane_expr(v, p) for p in range(n_planes)]
-    # two 8-bit bands
-    band0 = sum((bits[i] * F.lit(2**i) for i in range(8)), F.lit(0))
-    band1 = sum((bits[i + 8] * F.lit(2**i) for i in range(8)), F.lit(0))
-    sigs = emb.select(
+    sigs = staged.select(
         F.col("vec_id"),
-        F.stack(F.lit(2), F.lit(0), band0, F.lit(1), band1).alias("band_id", "band_hash"),
-    )
-    a, b = sigs.alias("x"), sigs.alias("y")
-    return (
-        a.join(b, ["band_id", "band_hash"])
-        .where(F.col("x.vec_id") < F.col("y.vec_id"))
-        .select(F.col("x.vec_id").alias("a"), F.col("y.vec_id").alias("b"))
-        .distinct()
-    )
+        F.stack(F.lit(2), F.lit(0), band(0), F.lit(1), band(1)).alias(
+            "band_id", "band_hash"
+        ),
+    ).localCheckpoint()  # evaluate the signature expression once, not on all
+    # three sides of the count-filtered self-join
+    return capped_pairs(sigs, ["band_id", "band_hash"], "vec_id", ANN_BUCKET_CAP)
 
 
 SQL_KNN_BRUTEFORCE = f"""
@@ -128,6 +165,37 @@ ranked AS (
   FROM scored)
 SELECT query_id, rank, neighbor_id, cos_sim FROM ranked WHERE rank <= {TOP_K}
 """
+
+def _ann_sql() -> str:
+    from relieff_lsh_spark.operators.capped import capped_pairs_sql
+
+    planes = ann_hyperplanes()
+    rows = ",\n    ".join(
+        f"({p}, [{', '.join(str(w) for w in planes[p])}])"
+        for p in range(ANN_PLANES)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * {ANN_QUANT}) AS BIGINT)) AS vq
+  FROM embeddings),
+planes(p, w) AS (VALUES
+    {rows}),
+bits AS (
+  SELECT e.vec_id, pl.p,
+         CASE WHEN list_dot_product(e.vq, pl.w) > 0 THEN 1 ELSE 0 END AS bit
+  FROM e CROSS JOIN planes pl),
+bands AS (
+  SELECT vec_id, p // {ANN_BAND_BITS} AS band_id,
+         CAST(sum(bit * (1 << (p % {ANN_BAND_BITS}))) AS INT) AS band_hash
+  FROM bits GROUP BY vec_id, p // {ANN_BAND_BITS}),
+{capped_pairs_sql('bands', ['band_id', 'band_hash'], 'vec_id', ANN_BUCKET_CAP)}
+SELECT a, b FROM capped_cand
+"""
+
+
+SQL_SIMHASH_ANN_CANDIDATES = _ann_sql()
 
 SQL_EMBEDDING_NEARDUP = f"""
 WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
