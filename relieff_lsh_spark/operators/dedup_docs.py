@@ -29,12 +29,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from relieff_lsh_spark.operators.capped import capped_pairs, capped_pairs_sql
+
 K = 5
 N_PERMS = 16
 BANDS = 4
 ROWS = 4
 CLONE_OFFSET = 100000
 MOD = 2147483647  # 2^31-1; (2^32)*(2*15+1) << 2^63, overflow-safe in both engines
+DOC_BUCKET_CAP = 64  # skew cap: buckets larger than this emit no pairs
+#                      (count-filtered join, SQL-mirrored; one degenerate
+#                      band over boilerplate docs is O(c^2) uncapped)
 
 
 def tokens(col="text"):
@@ -113,13 +118,11 @@ def _bands_long(sig: DataFrame) -> DataFrame:
 
 
 def _candidates_from(sig: DataFrame) -> DataFrame:
-    bands = _bands_long(sig)
-    a, b = bands.alias("a"), bands.alias("b")
-    return (
-        a.join(b, ["band_id", "band_hash"])
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
-        .distinct()
+    """Band self-join with the corpus pipeline's skew policy in its
+    SQL-replayable form (operators/capped.py): buckets over DOC_BUCKET_CAP
+    rows are dropped from pair generation instead of exploding O(c^2)."""
+    return capped_pairs(
+        _bands_long(sig), ["band_id", "band_hash"], "doc_id", DOC_BUCKET_CAP
     )
 
 
@@ -236,13 +239,7 @@ def q_simhash_neardup(docs: DataFrame) -> DataFrame:
         for b in range(SIM_BANDS)
     ])
     bands = sig.select("doc_id", F.posexplode(chunks).alias("band_id", "chunk"))
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(b, ["band_id", "chunk"])
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
-        .distinct()
-    )
+    cand = capped_pairs(bands, ["band_id", "chunk"], "doc_id", DOC_BUCKET_CAP)
     sa = sig.select(F.col("doc_id").alias("a"), F.col("simhash").alias("sim_a"))
     sb = sig.select(F.col("doc_id").alias("b"), F.col("simhash").alias("sim_b"))
     return (
@@ -297,13 +294,11 @@ _MH_FROM_SH = f"""
     FROM mh GROUP BY doc_id, perm_id // {ROWS})
 """
 
-_CAND = """
-  cand AS (
-    SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-    FROM bands a JOIN bands b
-      ON a.band_id = b.band_id AND a.band_hash = b.band_hash
-     AND a.doc_id < b.doc_id)
-"""
+# count-filtered band self-join: exact SQL mirror of _candidates_from
+_CAND = (
+    capped_pairs_sql("bands", ["band_id", "band_hash"], "doc_id", DOC_BUCKET_CAP)
+    + ",\n  cand AS (SELECT a, b FROM capped_cand)"
+)
 
 SQL_DEDUP_EXACT = f"""
 WITH both_t AS (
@@ -393,12 +388,9 @@ WITH {_AUG},
 chunks AS (
   SELECT doc_id, band_id, (simhash >> ({SIM_BAND_BITS} * band_id)) & {(1 << SIM_BAND_BITS) - 1} AS chunk
   FROM sim CROSS JOIN (SELECT unnest(generate_series(0, {SIM_BANDS - 1})) AS band_id)),
-scand AS (
-  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-  FROM chunks a JOIN chunks b
-    ON a.band_id = b.band_id AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+{capped_pairs_sql('chunks', ['band_id', 'chunk'], 'doc_id', DOC_BUCKET_CAP)}
 SELECT c.a, c.b, bit_count(xor(sa.simhash, sb.simhash))::INT AS hamming
-FROM scand c
+FROM capped_cand c
 JOIN sim sa ON sa.doc_id = c.a
 JOIN sim sb ON sb.doc_id = c.b
 WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {SIM_HAMMING_MAX}

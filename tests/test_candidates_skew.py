@@ -60,3 +60,25 @@ def test_channels_collected(spark, cfg):
     cand, _ = band_candidates(_bands_df(spark, rows), cfg)
     row = cand.collect()[0]
     assert sorted(row["channels"]) == ["audio", "text"]
+
+
+def test_documents_hot_band_capped(spark):
+    """Adversarial boilerplate corpus: 150 identical docs share every band
+    bucket (>> DOC_BUCKET_CAP), so the documents-suite band join must drop
+    those buckets instead of emitting C(150,2) pairs — while a distinct
+    near-dup pair in cold buckets is still found."""
+    from relieff_lsh_spark.operators import dedup_docs as dd
+
+    boiler = "the same boilerplate sentence repeated for every single page of this site"
+    uniq = "quick brown foxes jump over lazy dogs near the riverbank at dawn every day"
+    rows = [(i, boiler) for i in range(150)]
+    rows.append((200, uniq))
+    rows.append((201, "NEW " + uniq))  # near-dup of 200 (shares shingles)
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    sig = dd.signature_df(docs).localCheckpoint()
+    pairs = {(r["a"], r["b"]) for r in dd._candidates_from(sig).collect()}
+
+    assert (200, 201) in pairs                      # cold-bucket recall intact
+    assert not any(a < 150 and b < 150 for a, b in pairs)  # hot bucket dropped
+    assert len(pairs) < 100                          # nowhere near C(150,2)=11175
