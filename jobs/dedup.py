@@ -89,8 +89,8 @@ def main(argv: list[str] | None = None) -> dict:
         # Small input splits so the fused decode/fingerprint UDF scan
         # parallelizes to the full core count even on few large files
         # (split floor is the parquet row group; the corpus generator
-        # writes 500-row groups). Identical at every parallelism level,
-        # so scaling comparisons stay fair.
+        # writes batch_rows-sized groups — 100 rows in the bench layout).
+        # Identical at every parallelism level, so scaling stays fair.
         extra_conf={"spark.sql.files.maxPartitionBytes": str(32 * 1024 * 1024)},
     )
 

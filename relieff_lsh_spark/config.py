@@ -65,10 +65,37 @@ class DedupConfig:
             raise ValueError(
                 "simhash_bands must exceed hamming_max for exact multi-index recall"
             )
+        # Analytic LSH recall budget (SURVEY.md §7.4.2): a pair at exactly
+        # the verification threshold j collides on >=1 of b bands with
+        # probability 1-(1-j^r)^b. The north_rule demands dup-pair recall
+        # >= 0.99, so the banding scheme itself must clear that bar at the
+        # configured threshold — checked here, not just asserted empirically.
+        if self.text_recall_at_threshold < 0.99:
+            raise ValueError(
+                f"banded MinHash recall at jaccard_min={self.jaccard_min} is "
+                f"{self.text_recall_at_threshold:.4f} < 0.99; raise bands or "
+                "lower rows_per_band"
+            )
 
     @property
     def simhash_band_bits(self) -> int:
         return self.simhash_bits // self.simhash_bands
+
+    @property
+    def text_recall_at_threshold(self) -> float:
+        """P(>=1 band collision) for a pair at jaccard == jaccard_min:
+        1 - (1 - j^r)^b. Pairs above the threshold only do better."""
+        return 1.0 - (1.0 - self.jaccard_min ** self.rows_per_band) ** self.bands
+
+    @property
+    def text_recall_salted(self) -> float:
+        """Worst-case recall when EVERY band bucket a pair shares is salted:
+        the pair survives a salted band only if both sides land in the same
+        of salt_factor sub-buckets (p = j^r / salt_factor per band). The
+        real cost is far smaller — salting only triggers on buckets past
+        bucket_cap — but this bound is logged so the trade-off is explicit."""
+        p = self.jaccard_min ** self.rows_per_band / self.salt_factor
+        return 1.0 - (1.0 - p) ** self.bands
 
     def to_dict(self) -> dict:
         return asdict(self)

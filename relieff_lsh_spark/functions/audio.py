@@ -52,6 +52,19 @@ def decode_pcm(buf: bytes, codec: str) -> tuple[np.ndarray, int]:
     )
 
 
+def try_simhash(buf, codec: str, cfg: DedupConfig, planes: np.ndarray) -> int | None:
+    """Fused decode -> fingerprint -> SimHash for one clip; None when the
+    codec has no decoder (QUARANTINE, not a task-killing raise — a real
+    corpus always carries codecs this container can't decode; the clip still
+    participates in the exact/text/substr channels and is counted per-codec
+    in the signatures-stage manifest)."""
+    try:
+        x, sr = decode_pcm(bytes(buf), codec)
+    except NotImplementedError:
+        return None
+    return simhash64(spectral_fingerprint(x, sr, cfg), planes)
+
+
 def spectral_fingerprint(x: np.ndarray, sr_hz: int, cfg: DedupConfig) -> np.ndarray:
     """Noise-robust spectral fingerprint: mean power spectrum over Hann
     frames, pooled into cfg.n_freq_bands linear bands on 0..fmax_hz, log,
@@ -123,7 +136,13 @@ def audio_signatures(corpus: DataFrame, cfg: DedupConfig) -> DataFrame:
         for pdf in batches:
             ids, hashes, counts, rmss = [], [], [], []
             for buf, codec, cid in zip(pdf["bytes"], pdf["codec"], pdf["clip_id"]):
-                x, sr = decode_pcm(bytes(buf), codec)
+                try:
+                    x, sr = decode_pcm(bytes(buf), codec)
+                except NotImplementedError:
+                    # quarantine: no decoder for this codec in-container
+                    ids.append(cid); hashes.append(None)
+                    counts.append(0); rmss.append(0.0)
+                    continue
                 fp = spectral_fingerprint(x, sr, cfg)
                 hashes.append(simhash64(fp, planes))
                 ids.append(cid)
@@ -131,7 +150,7 @@ def audio_signatures(corpus: DataFrame, cfg: DedupConfig) -> DataFrame:
                 rmss.append(float(np.sqrt(np.mean(x**2))) if len(x) else 0.0)
             yield pd.DataFrame({
                 "clip_id": ids,
-                "simhash": pd.Series(hashes, dtype="int64"),
+                "simhash": pd.Series(hashes, dtype="Int64"),
                 "n_samples": pd.Series(counts, dtype="int32"),
                 "rms": pd.Series(rmss, dtype="float32"),
             })
@@ -154,10 +173,9 @@ def make_simhash_udf(cfg: DedupConfig):
 
     @F.pandas_udf(T.LongType())
     def simhash_sig(buf: pd.Series, codec: pd.Series) -> pd.Series:
-        out = np.empty(len(buf), dtype=np.int64)
-        for i, (b, c) in enumerate(zip(buf, codec)):
-            x, sr = decode_pcm(bytes(b), c)
-            out[i] = simhash64(spectral_fingerprint(x, sr, cfg), planes)
-        return pd.Series(out)
+        return pd.Series(
+            [try_simhash(b, c, cfg, planes) for b, c in zip(buf, codec)],
+            dtype="Int64",  # nullable: undecodable codecs quarantine as NULL
+        )
 
     return simhash_sig

@@ -39,6 +39,7 @@ def clip_signatures(corpus: DataFrame, cfg: DedupConfig) -> DataFrame:
     staged = corpus.select(
         "clip_id",
         "transcript",
+        "codec",
         shingle_hashes_expr(toks, cfg.shingle_k, distinct=False).alias("pos_sh"),
         shingle_hashes_expr(toks, cfg.substr_k, distinct=False).alias("pos_sub"),
         simhash_udf("bytes", "codec").alias("simhash"),
@@ -46,6 +47,7 @@ def clip_signatures(corpus: DataFrame, cfg: DedupConfig) -> DataFrame:
     df = staged.select(
         "clip_id",
         "transcript",
+        "codec",
         "simhash",
         F.array_distinct("pos_sh").alias("shingles"),
         minimizer_keys_from(F.col("pos_sub"), cfg.substr_window).alias("substr_keys"),
@@ -54,9 +56,11 @@ def clip_signatures(corpus: DataFrame, cfg: DedupConfig) -> DataFrame:
     return df.select(
         "clip_id",
         "transcript",
+        "codec",
         "shingles",
         "substr_keys",
-        "simhash",
+        "simhash",  # NULL = codec quarantined (no decoder); the clip still
+        #             dedups via exact/text/substr channels
         "minhash",
         band_hashes_expr(F.col("minhash"), cfg).alias("text_bands"),
         F.size("shingles").alias("n_shingles"),

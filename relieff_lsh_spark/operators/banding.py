@@ -56,7 +56,8 @@ def audio_bands(audio_sigs: DataFrame, cfg: DedupConfig) -> DataFrame:
         for b in range(cfg.simhash_bands)
     ])
     return (
-        audio_sigs.select("clip_id", F.posexplode(chunks).alias("band_id", "band_hash"))
+        audio_sigs.where(F.col("simhash").isNotNull())  # quarantined codecs
+        .select("clip_id", F.posexplode(chunks).alias("band_id", "band_hash"))
         .select("clip_id", F.lit("audio").alias("channel"), "band_id", "band_hash")
     )
 

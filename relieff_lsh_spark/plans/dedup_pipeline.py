@@ -102,22 +102,48 @@ class DedupPipeline:
             return self.catalog.read(name)
 
         sigs = _run_stage("signatures", lambda: (self.stage_signatures(), {}))
+        # per-codec quarantine audit: clips whose codec has no in-container
+        # decoder carry NULL simhash (functions/audio.py try_simhash) and are
+        # COUNTED here rather than killing tasks; they still dedup through
+        # the exact/text/substr channels.
+        quarantined = {
+            r["codec"]: int(r["n"])
+            for r in sigs.where(F.col("simhash").isNull())
+            .groupBy("codec").agg(F.count("*").alias("n")).collect()
+        }
+        self.metrics["signatures"]["quarantined_by_codec"] = quarantined
+
         cand = _run_stage("candidates", lambda: self.stage_candidates(sigs))
         verified = _run_stage(
             "verified", lambda: (self.stage_verified(cand, sigs), {})
         )
         comps = _run_stage("components", lambda: self.stage_components(verified))
+        if self.metrics["components"].get("counters", {}).get("converged") is False:
+            # a non-converged fixpoint would silently ship wrong clusters
+            raise RuntimeError(
+                "connected-components did not converge within max_iters; "
+                "components snapshot is untrustworthy — raise max_iters"
+            )
 
-        n_components = (
-            comps.agg(F.countDistinct("component_id").alias("n")).collect()[0]["n"]
-        )
-        dup_clips = (
-            comps.groupBy("component_id").count().where("count > 1")
-            .agg(F.sum("count")).collect()[0][0] or 0
+        sizes = comps.groupBy("component_id").agg(F.count("*").alias("n"))
+        agg = sizes.agg(
+            F.count("*").alias("n_components"),
+            F.coalesce(
+                F.sum(F.when(F.col("n") > 1, F.col("n"))), F.lit(0)
+            ).alias("dup_clips"),
+        ).collect()[0]
+        # the component-size report a dedup user reads first (the reference's
+        # sorted weight output, ReliefFFeatureSelector.scala:506)
+        top = (
+            sizes.orderBy(F.desc("n"), F.asc("component_id")).limit(10).collect()
         )
         self.metrics["summary"] = {
             "total_seconds": round(time.time() - t_all, 3),
-            "n_components": int(n_components),
-            "clips_in_dup_groups": int(dup_clips),
+            "n_components": int(agg["n_components"]),
+            "clips_in_dup_groups": int(agg["dup_clips"]),
+            "top_components": [
+                {"component_id": r["component_id"], "n_clips": int(r["n"])}
+                for r in top
+            ],
         }
         return self.metrics

@@ -86,3 +86,39 @@ def test_audio_signatures_spark_matches_local(spark, cfg, tiny_corpus_dir):
         expect = simhash64(spectral_fingerprint(x, sr, cfg), planes)
         assert r["simhash"] == expect
         assert r["n_samples"] == len(x)
+
+
+def test_mixed_codec_corpus_quarantined(spark, tiny_corpus_dir, cfg, tmp_path):
+    """A corpus with undecodable codecs must complete end-to-end with the
+    affected clips quarantined (NULL simhash) and counted per codec in the
+    signatures manifest — not die with NotImplementedError."""
+    import pyspark.sql.functions as F
+
+    from relieff_lsh_spark.plans.dedup_pipeline import DedupPipeline
+
+    corpus = spark.read.parquet(f"{tiny_corpus_dir}/corpus.parquet")
+    # deterministically flip ~1/3 of clips to a codec with no decoder
+    mixed = corpus.withColumn(
+        "codec",
+        F.when(F.pmod(F.xxhash64("clip_id"), F.lit(3)) == 0, F.lit("opus"))
+        .otherwise(F.col("codec")),
+    )
+    n_opus = mixed.where(F.col("codec") == "opus").count()
+    assert n_opus > 0
+    mixed_path = str(tmp_path / "mixed_corpus.parquet")
+    mixed.write.parquet(mixed_path)
+
+    pipe = DedupPipeline(spark, cfg, str(tmp_path / "wh"), mixed_path)
+    metrics = pipe.run(resume=False)
+
+    assert metrics["signatures"]["quarantined_by_codec"] == {"opus": n_opus}
+    assert metrics["summary"]["n_components"] > 0
+    # quarantined clips keep their text/exact channels: they appear in the
+    # components output like everyone else
+    comps = pipe.catalog.read("components")
+    assert comps.count() == corpus.count()
+    # component-size report present and sorted desc
+    top = metrics["summary"]["top_components"]
+    assert top and all(
+        top[i]["n_clips"] >= top[i + 1]["n_clips"] for i in range(len(top) - 1)
+    )
