@@ -20,6 +20,9 @@ from relieff_lsh_spark.operators import dedup_docs as dd
 from relieff_lsh_spark.operators import knn
 from relieff_lsh_spark.operators import textstats as ts
 from relieff_lsh_spark.operators import tpch_ops as tp
+from relieff_lsh_spark.sources.libsvm import libsvm_oracle_sql
+
+_LIBSVM_SQL = libsvm_oracle_sql()
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -28,6 +31,12 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _libsvm(spark: SparkSession) -> DataFrame:
+    from relieff_lsh_spark.sources.libsvm import q_libsvm_scan
+
+    return q_libsvm_scan(spark)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -91,6 +100,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_bruteforce": lambda s, d: knn.q_knn_bruteforce(_emb(s, d)),
         "q_embedding_neardup": lambda s, d: knn.q_embedding_neardup(_emb(s, d)),
         "q_simhash_ann_candidates": lambda s, d: knn.q_simhash_ann_candidates(_emb(s, d)),
+        # --- generic LibSVM source (the reference's input format, R:451) ---
+        "q_libsvm_scan": lambda s, d: _libsvm(s),
         # --- the audio corpus pipeline (rows-only check) ---
         "q_audio_dedup_components": _audio_dedup_components,
     }
@@ -125,6 +136,7 @@ def oracle_sql() -> dict[str, str]:
         # exact: fixed-point quantized embeddings x literal {+/-1} planes ->
         # integer dot products, bit-identical across engines
         "q_simhash_ann_candidates": knn.SQL_SIMHASH_ANN_CANDIDATES,
+        "q_libsvm_scan": _LIBSVM_SQL,
         # q_audio_dedup_components: binary audio + iterative fixpoint -> not
         # SQL-expressible; verified against the brute oracle in tests
     }

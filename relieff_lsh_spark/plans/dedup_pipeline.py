@@ -24,6 +24,7 @@ already exists — the reference's read-precomputed-graph mode
 
 from __future__ import annotations
 
+import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -82,7 +83,20 @@ class DedupPipeline:
         # vertices from the signatures snapshot, not the raw corpus: same
         # clip_id set, but a ~KB/row table instead of a ~75KB/row scan
         vertices = self.catalog.read("signatures").select("clip_id")
-        res = connected_components(verified.select("a", "b"), vertices)
+        # storage-backed round checkpoints: localCheckpoint blocks die with
+        # their executor on a real cluster; a killed job resumes the star
+        # fixpoint from the last persisted round instead of restarting it.
+        # The dir is keyed to the verified-snapshot VERSION so a re-run of
+        # upstream stages can never resume from stale edge state.
+        ver = (self.catalog.manifest("verified") or {}).get("version", 0)
+        ckpt = os.path.join(self.catalog.warehouse, f"_components_rounds_v{ver}")
+        res = connected_components(
+            verified.select("a", "b"), vertices, checkpoint_dir=ckpt
+        )
+        if res.converged:
+            import shutil
+
+            shutil.rmtree(ckpt, ignore_errors=True)
         return res.components, {"iterations": res.iterations, "converged": res.converged}
 
     # -- orchestration --------------------------------------------------------

@@ -262,7 +262,11 @@ def write_corpus(
         import multiprocessing as mp
         import shutil
 
-        if os.path.exists(corpus_path):
+        if os.path.isfile(corpus_path):
+            # an earlier sequential run wrote a single FILE here; rmtree
+            # would silently no-op and makedirs would raise
+            os.remove(corpus_path)
+        elif os.path.exists(corpus_path):
             shutil.rmtree(corpus_path, ignore_errors=True)
         os.makedirs(corpus_path)
         bounds = [(i * len(specs) // procs, (i + 1) * len(specs) // procs)

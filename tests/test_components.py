@@ -58,3 +58,31 @@ def test_pair_recall_contingency(spark):
     assert m["agree_pairs"] == 2.0
     assert m["recall"] == 0.5
     assert m["precision"] == 1.0
+
+
+def test_resume_from_round_checkpoint(spark, tmp_path):
+    """Kill-mid-fixpoint resume: a run cut off by max_iters leaves persisted
+    round state; a fresh call with the same checkpoint_dir continues from it
+    (storage-backed, not executor-pinned localCheckpoint blocks)."""
+    import os
+
+    # a path graph needs several star rounds to collapse
+    vertices = [f"p{i:02d}" for i in range(24)]
+    edges = [(vertices[i], vertices[i + 1]) for i in range(23)]
+    e = spark.createDataFrame(edges, ["a", "b"])
+    v = spark.createDataFrame([(x,) for x in vertices], ["clip_id"])
+    ckpt = str(tmp_path / "rounds")
+
+    partial = connected_components(
+        e, v, max_iters=1, checkpoint_dir=ckpt, checkpoint_every=1
+    )
+    assert not partial.converged
+    assert os.path.exists(os.path.join(ckpt, "round_1", "_SUCCESS"))
+
+    resumed = connected_components(
+        e, v, max_iters=25, checkpoint_dir=ckpt, checkpoint_every=1
+    )
+    assert resumed.converged
+    assert resumed.iterations > 1  # continued counting from the saved round
+    got = {r["clip_id"]: r["component_id"] for r in resumed.components.collect()}
+    assert all(c == "p00" for c in got.values())
