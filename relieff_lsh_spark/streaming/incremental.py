@@ -10,19 +10,34 @@ comparisons rather than rebuilding it).
 Design (per micro-batch, inside foreachBatch — full batch API available):
 
   1. sign the new clips (same text/audio/substr/exact channels as batch)
-  2. append their signatures to the `signatures` state table (parquet)
-  3. band ALL known signatures, semi-join to the band keys the new clips
-     touch (bucket-local work), generate candidate pairs within those
-     buckets, keep only pairs with >= 1 new endpoint (old-old pairs were
-     emitted by an earlier batch)
-  4. exact-verify and append to the `verified` edge table
+  2. append signatures AND their band rows to state tables — bands are
+     computed ONCE per clip when it arrives, so per-batch CPU is O(batch),
+     not O(history) (round 1 re-banded the full signature history every
+     batch)
+  3. the bands state is hash-bucketed on band_hash into BUCKETS partition
+     directories; each batch statically prunes the state scan to the
+     buckets its new keys hash into (file-level pruning — the DataFrame
+     filter is on a partition column), then left-semi joins down to the
+     exact touched buckets
+  4. candidate pairs within touched buckets, keep only pairs with >= 1 new
+     endpoint (old-old pairs were emitted by an earlier batch), exact-verify,
+     append to the verified edge table
   5. components are computed on demand from the accumulated edges (label
      propagation is global by nature; clusters stay correct across batches
      because edges are never lost)
 
-State tables are plain parquet appends — idempotent restarts come from the
-stream checkpoint (processed-files log), the same resume story as the batch
-SnapshotCatalog.
+Idempotent replays: foreachBatch is at-least-once, so every state write
+lands in a `batch_id=N` subdirectory with overwrite mode — a micro-batch
+retried after a partial failure rewrites the same paths instead of
+duplicating rows (plain appends would multiply signatures through the
+verify joins). The stream checkpoint (processed-files log) provides the
+resume cursor, same story as the batch SnapshotCatalog.
+
+Known, documented divergence from batch mode under the skew cap: the cap
+applies to the bucket's ACCUMULATED size at each batch, so pairs emitted
+while a bucket was still small are kept even if the bucket later grows past
+the cap (streaming recall >= batch recall on skewed data). Batch mode
+evaluates the cap once over the full corpus and drops the whole bucket.
 """
 
 from __future__ import annotations
@@ -43,6 +58,10 @@ from relieff_lsh_spark.operators.candidates import band_candidates
 from relieff_lsh_spark.operators.components import ComponentsResult, connected_components
 from relieff_lsh_spark.operators.verify import verify_candidates
 
+BUCKETS = 64  # band-hash bucket fanout of the bands state table; at real
+#               scale raise this (pruning granularity = state files read
+#               per batch) and compact small files periodically
+
 
 class IncrementalDedup:
     def __init__(self, spark: SparkSession, cfg: DedupConfig, state_dir: str):
@@ -50,9 +69,7 @@ class IncrementalDedup:
         self.cfg = cfg
         self.state_dir = state_dir
         self.sig_path = os.path.join(state_dir, "signatures")
-        # exact-channel state: (clip_id, bytes_hash) only — raw bytes are
-        # never persisted as stream state (they'd double corpus storage)
-        self.hash_path = os.path.join(state_dir, "bytes_hashes")
+        self.bands_path = os.path.join(state_dir, "bands")
         self.edges_path = os.path.join(state_dir, "verified")
         self.checkpoint = os.path.join(state_dir, "_stream_checkpoint")
         self.batch_stats: list[dict] = []
@@ -67,6 +84,9 @@ class IncrementalDedup:
     def signatures(self) -> DataFrame:
         return self.spark.read.parquet(self.sig_path)
 
+    def bands_state(self) -> DataFrame:
+        return self.spark.read.parquet(self.bands_path)
+
     def verified_edges(self) -> DataFrame:
         df = self._read_or_none(self.edges_path)
         if df is None:
@@ -78,46 +98,55 @@ class IncrementalDedup:
         return connected_components(self.verified_edges(), vertices)
 
     # -- per-batch work ----------------------------------------------------
-    def _sign(self, batch: DataFrame) -> DataFrame:
-        return clip_signatures(batch, self.cfg)
+    def _batch_bands(self, batch: DataFrame, new_sigs: DataFrame) -> DataFrame:
+        """All four channels' band rows for the NEW clips only."""
+        exact = batch.select(
+            "clip_id",
+            F.lit("exact").alias("channel"),
+            F.lit(0).alias("band_id"),
+            F.xxhash64("bytes").alias("band_hash"),
+        )
+        return (
+            text_bands(new_sigs, self.cfg)
+            .unionByName(substr_bands(new_sigs))
+            .unionByName(audio_bands(new_sigs, self.cfg))
+            .unionByName(exact)
+            .withColumn(
+                "bucket", F.pmod(F.xxhash64("band_hash"), F.lit(BUCKETS))
+            )
+        )
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         batch = batch.localCheckpoint()
         n_new = batch.count()
         if n_new == 0:
             return
-        new_sigs = self._sign(batch).localCheckpoint()
-        new_sigs.write.mode("append").parquet(self.sig_path)
-        batch.select(
-            "clip_id", F.xxhash64("bytes").alias("bytes_hash")
-        ).write.mode("append").parquet(self.hash_path)
+        new_sigs = clip_signatures(batch, self.cfg).localCheckpoint()
+        # idempotent state writes: per-batch subdirectory, overwrite mode —
+        # an at-least-once replay of this batch rewrites, never duplicates
+        new_sigs.write.mode("overwrite").parquet(
+            os.path.join(self.sig_path, f"batch_id={int(batch_id)}")
+        )
+        new_bands = self._batch_bands(batch, new_sigs).localCheckpoint()
+        new_bands.write.mode("overwrite").partitionBy("bucket").parquet(
+            os.path.join(self.bands_path, f"batch_id={int(batch_id)}")
+        )
 
-        # Bands of everything seen so far, restricted to buckets the new
-        # clips touch (a broadcastable semi-join at typical batch sizes).
-        all_sigs = self.signatures()
-        exact = self.spark.read.parquet(self.hash_path).select(
-            "clip_id",
-            F.lit("exact").alias("channel"),
-            F.lit(0).alias("band_id"),
-            F.col("bytes_hash").alias("band_hash"),
-        )
-        bands = (
-            text_bands(all_sigs, self.cfg)
-            .unionByName(substr_bands(all_sigs))
-            .unionByName(audio_bands(all_sigs, self.cfg))
-            .unionByName(exact)
-        )
-        new_ids = batch.select("clip_id")
-        new_keys = (
-            bands.join(F.broadcast(new_ids), "clip_id")
-            .select("channel", "band_id", "band_hash")
-            .distinct()
-        )
-        touched = bands.join(
-            F.broadcast(new_keys), ["channel", "band_id", "band_hash"], "left_semi"
-        )
+        # Buckets the new keys hash into: a static filter on the state
+        # table's partition column -> file-level pruning of the scan.
+        new_keys = new_bands.select("channel", "band_id", "band_hash", "bucket").distinct()
+        hit_buckets = [int(r["bucket"]) for r in new_keys.select("bucket").distinct().collect()]
+        pruned = self.bands_state().where(F.col("bucket").isin(hit_buckets))
+        touched = pruned.join(
+            F.broadcast(new_keys.select("channel", "band_id", "band_hash")),
+            ["channel", "band_id", "band_hash"],
+            "left_semi",
+        ).select("clip_id", "channel", "band_id", "band_hash")
+        rows_scanned = touched.count()
+
         cand, stats = band_candidates(touched, self.cfg)
         # old-old pairs inside touched buckets were found by earlier batches
+        new_ids = batch.select("clip_id")
         is_new = F.broadcast(new_ids.withColumn("is_new", F.lit(True)))
         cand = (
             cand.join(is_new.withColumnRenamed("clip_id", "a"), "a", "left")
@@ -127,11 +156,15 @@ class IncrementalDedup:
             .where(F.coalesce("a_new", F.lit(False)) | F.coalesce("b_new", F.lit(False)))
             .select("a", "b", "channels")
         )
-        verified = verify_candidates(cand, all_sigs, self.cfg)
-        verified.write.mode("append").parquet(self.edges_path)
+        verified = verify_candidates(cand, self.signatures(), self.cfg)
+        verified.write.mode("overwrite").parquet(
+            os.path.join(self.edges_path, f"batch_id={int(batch_id)}")
+        )
         self.batch_stats.append({
             "batch_id": int(batch_id),
             "new_clips": int(n_new),
+            "bands_rows_joined": int(rows_scanned),
+            "buckets_pruned_to": len(hit_buckets),
             "dropped_buckets": stats.dropped_buckets,
             "salted_buckets": stats.salted_buckets,
         })

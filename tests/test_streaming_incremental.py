@@ -89,3 +89,53 @@ def test_rerun_without_new_files_is_noop(spark, cfg: DedupConfig, split_corpus,
     inc2.run_available_now(in_dir)
     assert inc2.batch_stats == []  # checkpoint: nothing reprocessed
     assert inc2.verified_edges().count() == edges_before
+
+
+def test_per_batch_work_stays_bounded(spark, cfg: DedupConfig, tiny_corpus_dir,
+                                      tmp_path):
+    """O(batch), not O(history): with equal-sized batches, the band rows
+    entering candidate generation must NOT grow with the number of batches
+    already absorbed (round 1 re-banded the FULL signature history every
+    micro-batch). Late batches may join at most ~2x an early batch's rows
+    (cross-batch duplicate groups legitimately add some)."""
+    import shutil
+
+    corpus = spark.read.parquet(os.path.join(tiny_corpus_dir, "corpus.parquet"))
+    in_dir = str(tmp_path / "incoming")
+    os.makedirs(in_dir)
+    n_files = 8
+    part = F.pmod(F.xxhash64("clip_id"), F.lit(n_files))
+    for i in range(n_files):
+        staged = str(tmp_path / f"s{i}")
+        corpus.where(part == i).coalesce(1).write.parquet(staged)
+        for f in os.listdir(staged):
+            if f.endswith(".parquet"):
+                shutil.copy(os.path.join(staged, f), os.path.join(in_dir, f"f{i}_{f}"))
+
+    inc = IncrementalDedup(spark, cfg, str(tmp_path / "state"))
+    inc.run_available_now(in_dir, max_files_per_trigger=1)
+    stats = sorted(inc.batch_stats, key=lambda s: s["batch_id"])
+    assert len(stats) == n_files
+    early, late = stats[1], stats[-1]
+    # normalize by batch size (hash split is not perfectly even)
+    early_rate = early["bands_rows_joined"] / early["new_clips"]
+    late_rate = late["bands_rows_joined"] / late["new_clips"]
+    assert late_rate <= 2.0 * early_rate, (early, late)
+
+
+def test_replayed_batch_is_idempotent(spark, cfg: DedupConfig, tiny_corpus_dir,
+                                      tmp_path):
+    """foreachBatch is at-least-once: re-running the same (batch, batch_id)
+    — e.g. after a partial failure — must leave state tables identical, not
+    duplicate signatures/bands/edges."""
+    corpus = spark.read.parquet(os.path.join(tiny_corpus_dir, "corpus.parquet"))
+    batch = corpus.limit(80)
+    inc = IncrementalDedup(spark, cfg, str(tmp_path / "state"))
+    inc.process_batch(batch, batch_id=0)
+    sigs1 = inc.signatures().count()
+    bands1 = inc.bands_state().count()
+    edges1 = inc.verified_edges().count()
+    inc.process_batch(batch, batch_id=0)  # replay
+    assert inc.signatures().count() == sigs1
+    assert inc.bands_state().count() == bands1
+    assert inc.verified_edges().count() == edges1
