@@ -80,6 +80,16 @@ def get_spark(
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Iceberg catalog wiring: inert without the runtime jar (the class
+        # is instantiated lazily on first use); if iceberg-spark-runtime is
+        # ever added via --jars, SnapshotCatalog's probe flips and snapshot
+        # writes go through writeTo(...).createOrReplace() on this catalog.
+        .config("spark.sql.catalog.lshcat", "org.apache.iceberg.spark.SparkCatalog")
+        .config("spark.sql.catalog.lshcat.type", "hadoop")
+        .config(
+            "spark.sql.catalog.lshcat.warehouse",
+            os.environ.get("SPARK_GRAFT_ICEBERG_WH", "/tmp/lsh_iceberg_warehouse"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

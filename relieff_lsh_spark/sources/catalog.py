@@ -27,11 +27,23 @@ from pyspark.sql import functions as F
 
 
 def _has_iceberg(spark: SparkSession) -> bool:
+    """Probe for an Iceberg runtime on the classpath.
+
+    Sandbox status (round 2, documented in BASELINE.md): no
+    iceberg-spark-runtime jar ships in /opt/spark/jars or anywhere on the
+    image, and the sandbox has no network route to Maven
+    (repo1.maven.org does not resolve), so the probe is always False here
+    and the versioned-parquet fallback carries the snapshot semantics.
+    The Iceberg branch below is real code, exercised via mock in
+    tests/test_catalog_iceberg.py."""
     try:
         spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
         return True
     except Exception:
         return False
+
+
+ICEBERG_CATALOG = "lshcat"  # spark.sql.catalog.lshcat = SparkCatalog (hadoop)
 
 
 def partition_lineage(df: DataFrame) -> list[dict]:
@@ -65,11 +77,29 @@ class SnapshotCatalog:
 
     def exists(self, table: str) -> bool:
         m = self.manifest(table)
-        return m is not None and os.path.isdir(
+        if m is None:
+            return False
+        if m.get("format") == "iceberg":
+            return self.spark.catalog.tableExists(self._iceberg_ident(table))
+        return os.path.isdir(
             os.path.join(self.warehouse, table, f"v={m['version']}")
         )
 
     # -- write / read -------------------------------------------------------
+    def _iceberg_ident(self, table: str) -> str:
+        ns = os.path.basename(self.warehouse.rstrip("/")).replace("-", "_") or "wh"
+        return f"{ICEBERG_CATALOG}.{ns}.{table}"
+
+    def _write_iceberg(self, table: str, df: DataFrame) -> DataFrame:
+        """Iceberg snapshot write: createOrReplace is a new snapshot of the
+        table (atomic metadata-pointer swap — the manifest.json analog is
+        native here); time travel and concurrent writers come with the
+        format. Requires spark.sql.catalog.<ICEBERG_CATALOG> configured to
+        org.apache.iceberg.spark.SparkCatalog with a hadoop warehouse."""
+        ident = self._iceberg_ident(table)
+        df.writeTo(ident).createOrReplace()
+        return self.spark.table(ident)
+
     def write(self, table: str, df: DataFrame, counters: dict | None = None) -> dict:
         """Materialize df as the next snapshot of `table`; returns manifest."""
         prev = self.manifest(table)
@@ -77,8 +107,11 @@ class SnapshotCatalog:
         tdir = os.path.join(self.warehouse, table)
         data_dir = os.path.join(tdir, f"v={version}")
         t0 = time.time()
-        df.write.mode("overwrite").parquet(data_dir)
-        written = self.spark.read.parquet(data_dir)
+        if self.iceberg:
+            written = self._write_iceberg(table, df)
+        else:
+            df.write.mode("overwrite").parquet(data_dir)
+            written = self.spark.read.parquet(data_dir)
         lineage = partition_lineage(written)
         man = {
             "table": table,
@@ -100,6 +133,8 @@ class SnapshotCatalog:
         m = self.manifest(table)
         if m is None:
             raise FileNotFoundError(f"no snapshot for table {table!r} in {self.warehouse}")
+        if m.get("format") == "iceberg":
+            return self.spark.table(self._iceberg_ident(table))
         return self.spark.read.parquet(
             os.path.join(self.warehouse, table, f"v={m['version']}")
         )
