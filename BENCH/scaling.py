@@ -116,6 +116,7 @@ def _run(corpus: str, cpus: int, zpath: str, tag: str) -> dict:
     wh = os.path.join(wh_root, f"wh_{tag}")
     subprocess.run(["rm", "-rf", wh], check=True)
     mpath = os.path.join(REPO, "BENCH", "_work", f"metrics_{tag}.json")
+    os.makedirs(os.path.dirname(mpath), exist_ok=True)
     mem = os.environ.get("SPARK_DRIVER_MEM", "16g")
     cmd = [
         SPARK_SUBMIT,
@@ -157,6 +158,10 @@ def _run(corpus: str, cpus: int, zpath: str, tag: str) -> dict:
     m["cpu_core_seconds"] = round(
         (ru1.ru_utime - ru0.ru_utime) + (ru1.ru_stime - ru0.ru_stime), 1
     )
+    # usr/sys split: sys time growth at higher parallelism = kernel-side
+    # contention (page faults, sockets), not engine work
+    m["cpu_usr_seconds"] = round(ru1.ru_utime - ru0.ru_utime, 1)
+    m["cpu_sys_seconds"] = round(ru1.ru_stime - ru0.ru_stime, 1)
     subprocess.run(["rm", "-rf", wh], check=True)
     return m
 

@@ -14,18 +14,30 @@ Skew policy (SURVEY.md §4 O6/O7 — the maxComparisons analog, R:159/173):
   count > cap * salt_factor           : drop the bucket, COUNT THE DROPS
                                         (no silent truncation)
 
-Scale notes: the bucket-count side table is joined back on the band keys —
-the same keys the self-join shuffles on, so AQE reuses the exchange; with
-10^12 rows the counts table is still ~|distinct buckets| and never collected.
-The explicit repartition on the full join key precedes the self-join
-(north_rule requirement).
+Physical shape (round-2 rework — the round-1 version computed the bucket
+counts as a separate groupBy relation, which cost a second full pass over
+the bands (and its shuffle) plus a dedicated stats job):
+
+  bands -> repartition(N, band keys)          [the explicit repartition the
+                                               north_rule names]
+        -> window count over the band keys    [no extra shuffle: the window
+                                               reuses the repartition]
+        -> cap filter + salt                  -> ONE materialized pass
+  pairs  : self-join on (band keys, salt) — both sides scan the SAME
+           materialized relation, so the planner reuses one exchange; salted
+           sub-buckets scatter across partitions by the salt-extended key
+  stats  : 1-row aggregate over the materialized relation (no recompute)
+
+At 10^12 rows the materialization is the band relation only (skinny keys,
+never audio bytes / shingle arrays), spilling to local dirs like any
+shuffle would.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from relieff_lsh_spark.config import DedupConfig
@@ -44,23 +56,38 @@ def band_candidates(
     bands: DataFrame, cfg: DedupConfig, shuffle_partitions: int | None = None
 ) -> tuple[DataFrame, CandidateStats]:
     """bands -> distinct candidate pairs (a, b, channels: array<string>)."""
-    counts = bands.groupBy(*BUCKET_KEYS).agg(F.count("*").alias("bucket_n"))
-
     cap, factor = cfg.bucket_cap, cfg.salt_factor
+    n_part = shuffle_partitions or cfg.shuffle_partitions
 
-    # All skew-policy counters come from ONE action over the aggregated
-    # counts relation (|distinct buckets| rows) — never a second pass over
-    # the full bands relation.
+    # explicit repartition by the signature-band key ahead of the self-join
+    # (north_rule); the bucket-count window below reuses this exchange, so
+    # counting costs no second pass and no second shuffle.
+    w = Window.partitionBy(*BUCKET_KEYS)
+    annotated = (
+        bands.repartition(n_part, *BUCKET_KEYS)
+        .withColumn("bucket_n", F.count("*").over(w))
+    )
+
+    # one materialized pass: the stats aggregate and both self-join sides
+    # read this; upstream (signature scan + explode + window) runs once
+    annotated = annotated.localCheckpoint()
+
     hot = F.col("bucket_n") > cap * factor
     warm = (F.col("bucket_n") > cap) & ~hot
-    stats_row = counts.agg(
-        F.coalesce(F.sum(F.when(hot, F.col("bucket_n"))), F.lit(0)).alias("rows"),
-        F.count(F.when(hot, 1)).alias("buckets"),
-        F.count(F.when(warm, 1)).alias("salted"),
+    # All skew-policy counters from ONE tiny action over the materialized
+    # relation: each bucket contributes bucket_n rows of weight 1/bucket_n,
+    # so the per-bucket counts sum to exactly the number of buckets.
+    stats_row = annotated.agg(
+        F.count(F.when(hot, 1)).alias("rows"),
+        F.coalesce(
+            F.round(F.sum(F.when(hot, 1.0 / F.col("bucket_n")))), F.lit(0)
+        ).alias("buckets"),
+        F.coalesce(
+            F.round(F.sum(F.when(warm, 1.0 / F.col("bucket_n")))), F.lit(0)
+        ).alias("salted"),
     ).collect()[0]
 
-    annotated = bands.join(counts, BUCKET_KEYS)
-    kept = annotated.where(F.col("bucket_n") <= cap * factor).withColumn(
+    kept = annotated.where(~hot).withColumn(
         "salt",
         F.when(
             F.col("bucket_n") > cap,
@@ -69,11 +96,6 @@ def band_candidates(
     )
 
     join_keys = BUCKET_KEYS + ["salt"]
-    n_part = shuffle_partitions or cfg.shuffle_partitions
-    # explicit repartition by the signature-band key ahead of the self-join
-    # (north_rule); both join sides inherit this partitioning.
-    kept = kept.repartition(n_part, *join_keys)
-
     a, b = kept.alias("a"), kept.alias("b")
     pairs = (
         a.join(b, join_keys)
