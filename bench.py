@@ -41,6 +41,7 @@ HEADLINE = [
     "q_doc_fingerprint",
     "q_knn_bruteforce",
     "q_embedding_neardup",
+    "q_simhash_ann_candidates",
     "q_topk_per_group",
     "q_broadcast_dim_join",
     "q_range_normalize",

@@ -55,12 +55,15 @@ def _large_star(e: DataFrame) -> DataFrame:
         .agg(F.min("v").alias("mn"))
         .select("u", F.least("u", "mn").alias("m"))
     )
+    # No distinct here: duplicates produced within one round are bounded
+    # (one row per directed input edge) and the round-closing distinct in
+    # _small_star canonicalizes the state — dropping this exchange removes
+    # a full shuffle of the edge relation from every round.
     return (
         both.join(mins, "u")
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .where(F.col("u") != F.col("v"))
-        .distinct()
     )
 
 

@@ -80,6 +80,9 @@ def get_spark(
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # count()-style aggregates answered from parquet footer statistics
+        # instead of scanning row groups (corpus row counts, lineage checks)
+        .config("spark.sql.parquet.aggregatePushdown", "true")
         # Iceberg catalog wiring: inert without the runtime jar (the class
         # is instantiated lazily on first use); if iceberg-spark-runtime is
         # ever added via --jars, SnapshotCatalog's probe flips and snapshot
