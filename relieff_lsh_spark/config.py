@@ -43,6 +43,15 @@ class DedupConfig:
                                 # span of >= substr_k + substr_window - 1 words
                                 # shares a minimizer key
 
+    # --- refinement pass analog (reference refineGroupedGraph, R:181-187;
+    #     SURVEY.md §2.7 L4): a second banding with rotated (half-band-offset)
+    #     boundaries, catching near-threshold pairs whose matching rows
+    #     straddle the primary band cuts. OFF by default: the primary
+    #     OR-construction already clears the 0.99 analytic recall budget
+    #     (text_recall_at_threshold); the reference needs its refine pass
+    #     because its K-NN lists can be incomplete, ours is a threshold test.
+    refine_bands: bool = False
+
     # --- skew / work budget (maxComparisons analog, reference R:159,173) ---
     bucket_cap: int = 64        # max rows per (band, hash) bucket before action
     salt_factor: int = 8        # hot buckets split into this many sub-buckets

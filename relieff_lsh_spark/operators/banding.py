@@ -32,12 +32,48 @@ BAND_COLS = ["clip_id", "channel", "band_id", "band_hash"]
 
 def text_bands(text_sigs: DataFrame, cfg: DedupConfig) -> DataFrame:
     """Explode per-clip band-hash arrays; clips with no shingles are dropped
-    (they cannot pass Jaccard verification anyway)."""
-    return (
+    (they cannot pass Jaccard verification anyway).
+
+    With cfg.refine_bands, a second banding with half-band-rotated
+    boundaries is unioned in (band_id offset by cfg.bands) — the analog of
+    the reference's refineGroupedGraph second pass (R:181-187): pairs whose
+    agreeing MinHash rows straddle the primary band cuts get a second
+    chance to collide. Purely additive (extra OR-construction bands), so
+    recall can only increase."""
+    base = (
         text_sigs.where(F.col("n_shingles") > 0)
         .select("clip_id", F.posexplode("text_bands").alias("band_id", "band_hash"))
         .select("clip_id", F.lit("text").alias("channel"), "band_id", "band_hash")
     )
+    if not cfg.refine_bands:
+        return base
+    r = cfg.rows_per_band
+    off = r // 2
+    n_rot = cfg.bands - 1  # perms [off, off + n_rot*r) stay in range
+    rotated_hashes = F.transform(
+        F.sequence(F.lit(0), F.lit(n_rot - 1)),
+        lambda bnd: F.xxhash64(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(F.col("minhash"), bnd * r + off + 1, r),
+                    lambda v: v.cast("string"),
+                ),
+            ),
+            bnd + cfg.bands,  # salt disjoint from primary band ids
+        ),
+    )
+    rotated = (
+        text_sigs.where(F.col("n_shingles") > 0)
+        .select("clip_id", F.posexplode(rotated_hashes).alias("rot_id", "band_hash"))
+        .select(
+            "clip_id",
+            F.lit("text").alias("channel"),
+            (F.col("rot_id") + cfg.bands).alias("band_id"),
+            "band_hash",
+        )
+    )
+    return base.unionByName(rotated)
 
 
 def substr_bands(text_sigs: DataFrame) -> DataFrame:
