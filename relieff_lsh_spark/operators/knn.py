@@ -166,6 +166,91 @@ ranked AS (
 SELECT query_id, rank, neighbor_id, cos_sim FROM ranked WHERE rank <= {TOP_K}
 """
 
+IVF_MIN_COS = 0.30
+
+
+def q_ivf_ann_pairs(emb: DataFrame) -> DataFrame:
+    """IVF-shaped ANN: coarse-quantize every vector to one of ANN_PLANES
+    inverted lists (argmax of the exact integer dot with the literal
+    direction matrix — deterministic cross-engine, ties -> first index),
+    then exact cosine verification within each list. The candidate->verify
+    shape of the corpus pipeline with a centroid quantizer instead of LSH
+    bands; at scale each cell is an independent partition of the corpus.
+
+    Completeness caveat by construction (same as any single-probe IVF):
+    pairs straddling a cell boundary are missed; multi-probe = assign to
+    top-P cells. The LSH-banded variant (q_simhash_ann_candidates) is the
+    recall-oriented path."""
+    planes = ann_hyperplanes()
+    planes_lit = F.array(*[
+        F.array(*[F.lit(v) for v in row]) for row in planes
+    ])
+    vq = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * ANN_QUANT).cast("long"),
+    )
+    dots = F.transform(
+        planes_lit,
+        lambda w: F.aggregate(
+            F.zip_with(F.col("vq"), w, lambda x, s: x * s),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        ),
+    )
+    staged = emb.select("vec_id", _dbl("embedding").alias("v"), vq.alias("vq"))
+    cells = staged.select(
+        "vec_id", "v",
+        F.array_position(dots, F.array_max(dots)).cast("int").alias("cell"),
+    ).localCheckpoint()
+    a = cells.select(F.col("vec_id").alias("a"), F.col("cell"), F.col("v").alias("va"))
+    b = cells.select(F.col("vec_id").alias("b"), F.col("cell"), F.col("v").alias("vb"))
+    return (
+        a.join(b, "cell")
+        .where(F.col("a") < F.col("b"))
+        .withColumn("cos_sim", F.round(_cos(F.col("va"), F.col("vb")), 6))
+        .where(F.col("cos_sim") >= IVF_MIN_COS)
+        .select("cell", "a", "b", "cos_sim")
+    )
+
+
+def _ivf_sql() -> str:
+    planes = ann_hyperplanes()
+    rows = ",\n    ".join(
+        f"({p + 1}, [{', '.join(str(w) for w in planes[p])}])"
+        for p in range(ANN_PLANES)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * {ANN_QUANT}) AS BIGINT)) AS vq
+  FROM embeddings),
+planes(c, w) AS (VALUES
+    {rows}),
+dots AS (
+  SELECT e.vec_id, pl.c, list_dot_product(e.vq, pl.w) AS dot
+  FROM e CROSS JOIN planes pl),
+cells AS (
+  SELECT vec_id, CAST(min(c) FILTER (WHERE dot = mx) AS INT) AS cell
+  FROM (SELECT vec_id, c, dot, max(dot) OVER (PARTITION BY vec_id) AS mx FROM dots)
+  GROUP BY vec_id)
+SELECT ca.cell, ea.vec_id AS a, eb.vec_id AS b,
+       round(list_dot_product(ea.v, eb.v)
+             / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6)
+         AS cos_sim
+FROM cells ca JOIN cells cb ON ca.cell = cb.cell
+JOIN e ea ON ea.vec_id = ca.vec_id
+JOIN e eb ON eb.vec_id = cb.vec_id
+WHERE ca.vec_id < cb.vec_id
+  AND round(list_dot_product(ea.v, eb.v)
+            / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6)
+      >= {IVF_MIN_COS}
+"""
+
+
+SQL_IVF_ANN_PAIRS = _ivf_sql()
+
+
 def _ann_sql() -> str:
     from relieff_lsh_spark.operators.capped import capped_pairs_sql
 
