@@ -135,10 +135,17 @@ def connected_components(
     it = start_round
     prev_sum = None if converged else _checksum(e)
     while not converged and it < max_iters:
-        it += 1
-        new_e = _small_star(_large_star(e)).localCheckpoint(eager=False)
+        # TWO star rounds composed lazily per materialization barrier: the
+        # stage is latency-bound (per-job scheduling dwarfs the per-round
+        # edge shuffle at dedup edge densities), so halving the number of
+        # barriers/checksum actions halves its fixed cost. Convergence is
+        # still exact — the checksum repeat is re-verified set-wise below.
+        it += 2
+        new_e = _small_star(_large_star(_small_star(_large_star(e)))).localCheckpoint(
+            eager=False
+        )
         # the checksum action materializes the lazy checkpoint: ONE Spark
-        # job per round
+        # job per double-round
         new_sum = _checksum(new_e)
         if new_sum == prev_sum:
             # exact fixpoint verification (checksums are probabilistic):

@@ -74,15 +74,15 @@ def test_resume_from_round_checkpoint(spark, tmp_path):
     ckpt = str(tmp_path / "rounds")
 
     partial = connected_components(
-        e, v, max_iters=1, checkpoint_dir=ckpt, checkpoint_every=1
+        e, v, max_iters=2, checkpoint_dir=ckpt, checkpoint_every=1
     )
     assert not partial.converged
-    assert os.path.exists(os.path.join(ckpt, "round_1", "_SUCCESS"))
+    assert os.path.exists(os.path.join(ckpt, "round_2", "_SUCCESS"))
 
     resumed = connected_components(
         e, v, max_iters=25, checkpoint_dir=ckpt, checkpoint_every=1
     )
     assert resumed.converged
-    assert resumed.iterations > 1  # continued counting from the saved round
+    assert resumed.iterations > 2  # continued counting from the saved round
     got = {r["clip_id"]: r["component_id"] for r in resumed.components.collect()}
     assert all(c == "p00" for c in got.values())
