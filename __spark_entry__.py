@@ -89,6 +89,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lsh_bands": lambda s, d: dd.q_lsh_bands(_docs(s, d)),
         "q_lsh_candidates": lambda s, d: dd.q_lsh_candidates(_docs(s, d)),
         "q_jaccard_verify": lambda s, d: dd.q_jaccard_verify(_docs(s, d)),
+        "q_text_components": lambda s, d: dd.q_text_components(_docs(s, d)),
+        "q_component_sizes": lambda s, d: dd.q_component_sizes(_docs(s, d)),
         "q_simhash_text": lambda s, d: dd.q_simhash_text(_docs(s, d)),
         "q_simhash_neardup": lambda s, d: dd.q_simhash_neardup(_docs(s, d)),
         # --- text analysis over documents ---
@@ -126,6 +128,9 @@ def oracle_sql() -> dict[str, str]:
         "q_lsh_bands": dd.SQL_LSH_BANDS,
         "q_lsh_candidates": dd.SQL_LSH_CANDIDATES,
         "q_jaccard_verify": dd.SQL_JACCARD_VERIFY,
+        # recursive-CTE reachability replays the star-algorithm fixpoint
+        "q_text_components": dd.SQL_TEXT_COMPONENTS,
+        "q_component_sizes": dd.SQL_COMPONENT_SIZES,
         "q_simhash_text": dd.SQL_SIMHASH_TEXT,
         "q_simhash_neardup": dd.SQL_SIMHASH_NEARDUP,
         "q_token_stats": ts.SQL_TOKEN_STATS,

@@ -220,6 +220,38 @@ def q_jaccard_verify(docs: DataFrame) -> DataFrame:
     )
 
 
+def q_text_components(docs: DataFrame) -> DataFrame:
+    """Connected components over the verified near-dup edges: the corpus
+    pipeline's final clustering stage (SURVEY.md §3.3 stages 3-4 analog,
+    large-star/small-star on the edge relation) on SQL-replayable text.
+    component_id = min doc_id reachable through jaccard>=0.5 edges;
+    singletons keep their own id. The DuckDB oracle replays the fixpoint
+    as a recursive reachability CTE — a genuinely different algorithm, so
+    a value-hash match checks the clustering itself, not the plumbing."""
+    from relieff_lsh_spark.operators.components import connected_components
+
+    edges = q_jaccard_verify(docs).select("a", "b")
+    verts = augmented_docs(docs).select(F.col("doc_id").alias("clip_id"))
+    res = connected_components(edges, verts)
+    if not res.converged:
+        raise RuntimeError("text components did not converge")
+    return res.components.select(
+        F.col("clip_id").alias("doc_id"), "component_id"
+    )
+
+
+def q_component_sizes(docs: DataFrame) -> DataFrame:
+    """Duplicate-cluster size report (reference's sorted component output,
+    R:506; SURVEY.md §2.5 W3): multi-member components with member count
+    and max member id."""
+    comp = q_text_components(docs)
+    return (
+        comp.groupBy("component_id")
+        .agg(F.count("*").alias("n_members"), F.max("doc_id").alias("max_member"))
+        .where(F.col("n_members") >= 2)
+    )
+
+
 def q_simhash_text(docs: DataFrame) -> DataFrame:
     """Per-document 16-bit SimHash signature."""
     return simhash_df(docs)
@@ -356,6 +388,48 @@ SELECT i.a, i.b,
        round(n_int / (za.n + zb.n - n_int), 6) AS jaccard
 FROM inter i JOIN sizes za ON za.doc_id = i.a JOIN sizes zb ON zb.doc_id = i.b
 WHERE round(n_int / (za.n + zb.n - n_int), 6) >= 0.5
+"""
+
+# components oracle: min-id reachability closure as a recursive CTE — an
+# independent re-derivation of the star-algorithm fixpoint (walk(u,v) holds
+# every v reachable from u; component id = least(u, min reachable)).
+_COMPONENTS_CTE = f"""
+WITH RECURSIVE {_AUG},
+{_sh_cte('aug')},
+{_MH_FROM_SH},
+{_CAND},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.a, c.b, count(*) AS n_int
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.a
+  JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2),
+verified AS (
+  SELECT i.a, i.b
+  FROM inter i JOIN sizes za ON za.doc_id = i.a JOIN sizes zb ON zb.doc_id = i.b
+  WHERE round(n_int / (za.n + zb.n - n_int), 6) >= 0.5),
+sym AS (SELECT a AS u, b AS v FROM verified UNION SELECT b, a FROM verified),
+walk(u, v) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT w.u, s.v FROM walk w JOIN sym s ON s.u = w.v),
+reach AS (SELECT u AS doc_id, least(u, min(v)) AS component_id FROM walk GROUP BY u),
+verts AS (SELECT doc_id FROM aug),
+comp AS (
+  SELECT v.doc_id, coalesce(r.component_id, v.doc_id) AS component_id
+  FROM verts v LEFT JOIN reach r ON r.doc_id = v.doc_id)
+"""
+
+SQL_TEXT_COMPONENTS = f"""
+{_COMPONENTS_CTE}
+SELECT doc_id, component_id FROM comp
+"""
+
+SQL_COMPONENT_SIZES = f"""
+{_COMPONENTS_CTE}
+SELECT component_id, count(*) AS n_members, max(doc_id) AS max_member
+FROM comp GROUP BY component_id HAVING count(*) >= 2
 """
 
 _VOTES = ", ".join(

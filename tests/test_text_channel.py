@@ -139,3 +139,37 @@ def test_refine_rotated_bands_additive(spark, tiny_corpus_dir):
     assert n_ref > n_base
     assert refined.where("band_id < 32").count() == n_base
     assert refined.where("band_id >= 32").count() == n_ref - n_base
+
+
+def test_text_components_clusters_planted_clones(spark):
+    """q_text_components groups every planted near-dup clone with its base
+    doc (component_id = min member id), and q_component_sizes reports the
+    same multi-member clusters."""
+    from relieff_lsh_spark.operators import dedup_docs as dd
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    comp = {
+        r["doc_id"]: r["component_id"]
+        for r in dd.q_text_components(docs).collect()
+    }
+    n_docs = docs.count()
+    assert len(comp) == 2 * n_docs  # base + clones
+    # clone drops the first word -> jaccard well above 0.5 -> same component
+    paired = sum(
+        1 for d in range(n_docs) if comp.get(d) == comp.get(d + dd.CLONE_OFFSET)
+    )
+    assert paired >= 0.99 * n_docs
+    # component_id is always the minimum member id
+    mins = {}
+    for doc, c in comp.items():
+        mins[c] = min(mins.get(c, doc), doc)
+    assert all(c == m for c, m in mins.items())
+
+    sizes = {
+        r["component_id"]: r["n_members"]
+        for r in dd.q_component_sizes(docs).collect()
+    }
+    from collections import Counter
+
+    expect = Counter(comp.values())
+    assert sizes == {c: n for c, n in expect.items() if n >= 2}
