@@ -11,10 +11,12 @@ Performance shape (deliberate):
   * ONE md5 per shingle; the N_PERMS permutations are cheap integer
     arithmetic (a_i*h + b_i mod p) over the 32-bit prefix — never N_PERMS
     md5 calls per shingle.
-  * signatures are built in separate projections, each alias referenced
-    multiple times downstream, so Catalyst's CollapseProject keeps the
-    boundaries and every stage is evaluated once per row (re-evaluating the
-    shingle array inside 16 permutation branches is the 10-100x trap).
+  * every downstream expression references the previous stage's alias
+    EXACTLY ONCE (one-pass aggregate folds, not one branch per perm/band):
+    Catalyst's CollapseProject inlines aliases into every referencing
+    branch, so an alias used N times re-evaluates its whole upstream chain
+    N times — with 16 perm branches that made md5 run 16x per shingle
+    (measured 27s -> 2s at sf0.1 for q_minhash_sigs when folded).
   * the band self-join runs over a localCheckpoint'ed signature relation —
     the in-query analog of the pipeline's snapshot between the signature
     and candidate stages (a self-join on an unmaterialized subtree computes
@@ -63,17 +65,43 @@ def _h32(s):
     return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint")
 
 
-def _perm(i: int):
-    """Single-arg lambda factory: pyspark's F.transform interprets a
-    two-parameter callable as (element, index), so the permutation index
-    must be captured in a closure, never as a second lambda parameter."""
-    def f(h):
-        return (h * (2 * i + 1) + (7919 * i + 13)) % MOD
-    return f
+def _perms_of(h):
+    """All N_PERMS permuted hashes of one 32-bit shingle hash, as an array.
+    h < 2^32 and the largest multiplier is 2*N_PERMS-1, so products stay
+    far below 2^63 (MOD comment above)."""
+    return F.array(*[
+        (h * (2 * i + 1) + (7919 * i + 13)) % MOD for i in range(N_PERMS)
+    ])
 
 
-def signature_df(docs: DataFrame) -> DataFrame:
-    """(doc_id, sh, mh, bands) with staged, evaluate-once projections."""
+def _minhash_expr(shh):
+    """MinHash signature in ONE pass over the shingle-hash array:
+    fold with element-wise least across all N_PERMS lanes.
+
+    Shape matters: the naive array(array_min(transform(shh, perm_i)) for i)
+    references `shh` N_PERMS times, and Catalyst's CollapseProject inlines
+    the md5 `transform` that produces shh into every branch — md5 runs
+    N_PERMS x per shingle (measured 16x: 27s -> 2s at sf0.1). A single
+    aggregate references shh once, so the collapse stays free."""
+    init = F.array(*[F.lit(MOD).cast("bigint")] * N_PERMS)
+    return F.aggregate(
+        shh, init, lambda acc, h: F.zip_with(acc, _perms_of(h), lambda a, b: F.least(a, b))
+    )
+
+
+def signature_df(docs: DataFrame, keep_shingles: bool = True) -> DataFrame:
+    """(doc_id, [sh,] mh, bands): shingles -> md5 once per shingle -> one-pass
+    16-lane MinHash fold -> band hashes.
+
+    The lazy checkpoint between the fold and the band derivation is a
+    CollapseProject barrier: without it Catalyst inlines the mh fold into
+    every consumer (band branches, Generate-inferred filters), re-running
+    the md5 + fold chain 3-5x per row. Above the barrier mh is a
+    materialized attribute, so the band md5s are O(BANDS) arithmetic. This
+    is the in-query analog of the corpus pipeline's signature snapshot.
+
+    keep_shingles=False drops the (bulky) shingle-string arrays from the
+    materialized state for consumers that only need mh/bands."""
     d1 = docs.select("doc_id", shingles_expr(tokens("text")).alias("sh")).where(
         F.size("sh") > 0
     )
@@ -81,22 +109,20 @@ def signature_df(docs: DataFrame) -> DataFrame:
         "doc_id", "sh",
         F.transform(F.col("sh"), _h32).alias("shh"),
     )
+    keep = ["doc_id", "sh"] if keep_shingles else ["doc_id"]
     d3 = d2.select(
-        "doc_id", "sh",
-        F.array(*[
-            F.array_min(F.transform(F.col("shh"), _perm(i)))
-            for i in range(N_PERMS)
-        ]).alias("mh"),
-    )
+        *keep,
+        _minhash_expr(F.col("shh")).alias("mh"),
+    ).localCheckpoint(eager=False)
     return d3.select(
-        "doc_id", "sh", "mh",
-        F.array(*[
-            F.md5(F.concat_ws(",", F.transform(
-                F.slice(F.col("mh"), b * ROWS + 1, ROWS),
+        *keep, "mh",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(BANDS - 1)),
+            lambda b: F.md5(F.concat_ws(",", F.transform(
+                F.slice(F.col("mh"), b * ROWS + 1, F.lit(ROWS)),
                 lambda v: v.cast("string"),
-            )))
-            for b in range(BANDS)
-        ]).alias("bands"),
+            ))),
+        ).alias("bands"),
     )
 
 
@@ -181,13 +207,13 @@ def q_shingle_stats(docs: DataFrame) -> DataFrame:
 
 
 def q_minhash_sigs(docs: DataFrame) -> DataFrame:
-    return signature_df(docs).select(
+    return signature_df(docs, keep_shingles=False).select(
         "doc_id", F.posexplode("mh").alias("perm_id", "minhash")
     )
 
 
 def q_lsh_bands(docs: DataFrame) -> DataFrame:
-    return _bands_long(signature_df(docs))
+    return _bands_long(signature_df(docs, keep_shingles=False))
 
 
 def q_lsh_candidates(docs: DataFrame) -> DataFrame:
