@@ -152,32 +152,77 @@ def _candidates_from(sig: DataFrame) -> DataFrame:
     )
 
 
-SIM_BITS = 16
+SIM_BITS = 64
 SIM_BANDS = 4
-SIM_BAND_BITS = SIM_BITS // SIM_BANDS
-SIM_HAMMING_MAX = 2  # 4 bands pigeonhole-guarantee recall up to hamming 3
+SIM_BAND_BITS = SIM_BITS // SIM_BANDS  # 16-bit chunks: 65536 buckets/band
+SIM_HAMMING_MAX = 3  # 4 bands pigeonhole-guarantee recall up to hamming 3
+_MIN_LONG = -(1 << 63)
 
 
 def simhash_df(docs: DataFrame) -> DataFrame:
-    """(doc_id, simhash) — 16-bit SimHash by per-bit majority vote over the
-    distinct shingle hashes (the corpus pipeline's audio SimHash-64 re-expressed
-    over text with md5 so DuckDB can replay it bit-for-bit). Explode + hash-agg:
-    partial aggregation makes the vote map-side combinable."""
+    """(doc_id, simhash, chunk0..chunk3) — 64-bit SimHash by per-bit majority
+    vote over the distinct shingle hashes: the corpus pipeline's audio
+    SimHash-64 (same 64/4x16 geometry, DedupConfig defaults) re-expressed
+    over text with md5 so DuckDB can replay it bit-for-bit. Explode +
+    hash-agg: partial aggregation makes the vote map-side combinable.
+
+    64 bits matter at scale: a 16-bit hash gives 16 buckets/band, so every
+    bucket crosses the skew cap once the corpus passes ~1k docs and recall
+    collapses to zero; 16-bit CHUNKS of a 64-bit hash keep expected bucket
+    size ~n/65536 per band.
+
+    The 4 chunk columns are carried alongside the packed value because the
+    pack wraps into the sign bit — re-extracting the top chunk from a
+    negative bigint needs engine-specific unsigned shifts, while carrying
+    the chunks is portable arithmetic. Packing is overflow-safe in ANSI
+    mode: the top bit is split off and applied as one min-long addition."""
     d1 = docs.select("doc_id", shingles_expr(tokens("text")).alias("sh")).where(
         F.size("sh") > 0
     )
-    rows = d1.select("doc_id", F.explode(F.transform("sh", _h32)).alias("h"))
+    # two 32-bit hash words per shingle (bits 0-31 and 32-63 of the vote)
+    rows = d1.select(
+        "doc_id", F.explode("sh").alias("s")
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("bigint").alias("hlo"),
+        F.conv(F.substring(F.md5("s"), 9, 8), 16, 10).cast("bigint").alias("hhi"),
+    )
     votes = rows.groupBy("doc_id").agg(*[
         F.sum(
-            F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1
+            F.shiftright(F.col("hlo" if i < 32 else "hhi"), i % 32)
+            .bitwiseAND(F.lit(1)) * 2 - 1
         ).alias(f"v{i}")
         for i in range(SIM_BITS)
     ])
-    packed = None
-    for i in range(SIM_BITS):
-        term = F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        packed = term if packed is None else packed + term
-    return votes.select("doc_id", packed.cast("bigint").alias("simhash"))
+    def chunk(b: int):
+        terms = [
+            F.when(F.col(f"v{b * SIM_BAND_BITS + j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            for j in range(SIM_BAND_BITS)
+        ]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out.cast("bigint")
+
+    with_chunks = votes.select(
+        "doc_id", *[chunk(b).alias(f"chunk{b}") for b in range(SIM_BANDS)]
+    )
+    # pack 4x16 bits; bit 63 (top bit of chunk3) applied as min-long so no
+    # intermediate exceeds int64
+    low63 = (
+        F.col("chunk0")
+        + F.col("chunk1") * F.lit(1 << 16)
+        + F.col("chunk2") * F.lit(1 << 32)
+        + F.col("chunk3").bitwiseAND(F.lit(0x7FFF)) * F.lit(1 << 48)
+    )
+    packed = F.when(
+        F.shiftright(F.col("chunk3"), 15).bitwiseAND(F.lit(1)) == 1,
+        low63 + F.lit(_MIN_LONG),
+    ).otherwise(low63)
+    return with_chunks.select(
+        "doc_id", packed.cast("bigint").alias("simhash"),
+        *[f"chunk{b}" for b in range(SIM_BANDS)],
+    )
 
 
 # ---- queries ----------------------------------------------------------------
@@ -279,23 +324,18 @@ def q_component_sizes(docs: DataFrame) -> DataFrame:
 
 
 def q_simhash_text(docs: DataFrame) -> DataFrame:
-    """Per-document 16-bit SimHash signature."""
-    return simhash_df(docs)
+    """Per-document 64-bit SimHash signature."""
+    return simhash_df(docs).select("doc_id", "simhash")
 
 
 def q_simhash_neardup(docs: DataFrame) -> DataFrame:
-    """SimHash near-duplicate pairs over the augmented corpus: band the 16-bit
-    signature into 4 x 4-bit chunks (pigeonhole: any pair with hamming <= 3
-    collides on >= 1 chunk), self-join on the chunk, verify with
-    bit_count(xor) <= 2 — the audio channel's candidate->verify shape
+    """SimHash near-duplicate pairs over the augmented corpus: band the
+    64-bit signature into 4 x 16-bit chunks (pigeonhole: any pair with
+    hamming <= 3 collides on >= 1 chunk), self-join on the chunk, verify
+    with bit_count(xor) <= 3 — the audio channel's candidate->verify shape
     (SURVEY.md §2.7 L1/L2) on SQL-replayable text."""
     sig = simhash_df(augmented_docs(docs)).localCheckpoint()
-    mask = (1 << SIM_BAND_BITS) - 1
-    chunks = F.array(*[
-        F.shiftrightunsigned(F.col("simhash"), b * SIM_BAND_BITS)
-        .bitwiseAND(F.lit(mask))
-        for b in range(SIM_BANDS)
-    ])
+    chunks = F.array(*[F.col(f"chunk{b}") for b in range(SIM_BANDS)])
     bands = sig.select("doc_id", F.posexplode(chunks).alias("band_id", "chunk"))
     cand = capped_pairs(bands, ["band_id", "chunk"], "doc_id", DOC_BUCKET_CAP)
     sa = sig.select(F.col("doc_id").alias("a"), F.col("simhash").alias("sim_a"))
@@ -459,19 +499,39 @@ FROM comp GROUP BY component_id HAVING count(*) >= 2
 """
 
 _VOTES = ", ".join(
-    f"sum(2 * ((h >> {i}) & 1) - 1) AS v{i}" for i in range(SIM_BITS)
+    f"sum(2 * (({'hlo' if i < 32 else 'hhi'} >> {i % 32}) & 1) - 1) AS v{i}"
+    for i in range(SIM_BITS)
 )
-_PACK = " + ".join(
-    f"CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(SIM_BITS)
+_CHUNKS = ", ".join(
+    "("
+    + " + ".join(
+        f"CASE WHEN v{b * SIM_BAND_BITS + j} > 0 THEN {1 << j} ELSE 0 END"
+        for j in range(SIM_BAND_BITS)
+    )
+    + f")::BIGINT AS chunk{b}"
+    for b in range(SIM_BANDS)
+)
+# pack with the top bit applied as one min-long addition (DuckDB raises on
+# bigint overflow, so the naive chunk3 << 48 is not expressible)
+_PACK = (
+    f"chunk0 + chunk1 * {1 << 16} + chunk2 * {1 << 32}"
+    f" + (chunk3 & {0x7FFF}) * {1 << 48}"
+    f" + CASE WHEN (chunk3 >> 15) & 1 = 1"
+    f" THEN (-{(1 << 63) - 1}::BIGINT - 1::BIGINT) ELSE 0 END"
 )
 
 
 def _sim_cte(src_sh: str = "sh") -> str:
-    """CTEs (doc_id, shingle) -> sim(doc_id, simhash)."""
+    """CTEs (doc_id, shingle) -> sim(doc_id, simhash, chunk0..chunk3)."""
     return f"""
-  shh AS (SELECT doc_id, {_H32} AS h FROM {src_sh}),
+  shh AS (SELECT doc_id, {_H32} AS hlo,
+                 ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS hhi
+          FROM {src_sh}),
   votes AS (SELECT doc_id, {_VOTES} FROM shh GROUP BY doc_id),
-  sim AS (SELECT doc_id, ({_PACK})::BIGINT AS simhash FROM votes)
+  chunks_t AS (SELECT doc_id, {_CHUNKS} FROM votes),
+  sim AS (SELECT doc_id, ({_PACK})::BIGINT AS simhash,
+                 chunk0, chunk1, chunk2, chunk3
+          FROM chunks_t)
 """
 
 
@@ -486,8 +546,10 @@ WITH {_AUG},
 {_sh_cte('aug')},
 {_sim_cte()},
 chunks AS (
-  SELECT doc_id, band_id, (simhash >> ({SIM_BAND_BITS} * band_id)) & {(1 << SIM_BAND_BITS) - 1} AS chunk
-  FROM sim CROSS JOIN (SELECT unnest(generate_series(0, {SIM_BANDS - 1})) AS band_id)),
+  SELECT doc_id, b.band_id,
+         CASE b.band_id WHEN 0 THEN chunk0 WHEN 1 THEN chunk1
+                        WHEN 2 THEN chunk2 ELSE chunk3 END AS chunk
+  FROM sim CROSS JOIN (SELECT unnest(generate_series(0, {SIM_BANDS - 1})) AS band_id) b),
 {capped_pairs_sql('chunks', ['band_id', 'chunk'], 'doc_id', DOC_BUCKET_CAP)}
 SELECT c.a, c.b, bit_count(xor(sa.simhash, sb.simhash))::INT AS hamming
 FROM capped_cand c
