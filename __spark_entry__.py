@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_score": lambda s, d: ts.q_quality_score(_docs(s, d)),
         "q_stopword_langid": lambda s, d: ts.q_stopword_langid(_docs(s, d)),
         "q_doc_fingerprint": lambda s, d: ts.q_doc_fingerprint(_docs(s, d)),
+        "q_bpe_token_count": lambda s, d: ts.q_bpe_token_count(_docs(s, d)),
         # --- similarity search over embeddings ---
         "q_knn_bruteforce": lambda s, d: knn.q_knn_bruteforce(_emb(s, d)),
         "q_embedding_neardup": lambda s, d: knn.q_embedding_neardup(_emb(s, d)),
@@ -137,6 +138,7 @@ def oracle_sql() -> dict[str, str]:
         "q_quality_score": ts.SQL_QUALITY_SCORE,
         "q_stopword_langid": ts.SQL_STOPWORD_LANGID,
         "q_doc_fingerprint": ts.SQL_DOC_FINGERPRINT,
+        "q_bpe_token_count": ts.SQL_BPE_TOKEN_COUNT,
         "q_knn_bruteforce": knn.SQL_KNN_BRUTEFORCE,
         "q_embedding_neardup": knn.SQL_EMBEDDING_NEARDUP,
         # exact: fixed-point quantized embeddings x literal {+/-1} planes ->

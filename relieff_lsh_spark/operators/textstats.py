@@ -58,6 +58,27 @@ def q_stopword_langid(docs: DataFrame) -> DataFrame:
     )
 
 
+# GPT-style pre-tokenizer shape without lookaheads (portable between Java
+# regex and DuckDB's RE2): contractions, letter runs, <=3-digit runs (modern
+# tokenizers chunk digits in threes), punctuation runs; each optionally
+# space-prefixed.
+BPE_RE = r"'[a-z]+| ?[A-Za-z]+| ?[0-9]{1,3}| ?[^A-Za-z0-9 ]+"
+
+
+def q_bpe_token_count(docs: DataFrame) -> DataFrame:
+    """Token counting two ways (training-data budget estimation): whitespace
+    words vs a BPE-ish pre-tokenizer regex, plus their ratio (tokens per
+    word ~ the 'fertility' a tokenizer report quotes)."""
+    toks = tokens("text")
+    bpe = F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), F.lit(0))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_ws_tokens"),
+        F.size(bpe).alias("n_bpe_tokens"),
+        F.round(F.size(bpe) / F.size(toks), 6).alias("tokens_per_word"),
+    )
+
+
 def q_doc_fingerprint(docs: DataFrame) -> DataFrame:
     """Winnowing-style fingerprint: lexicographic min/max md5 over the
     document's shingle set (the corpus pipeline's minimizer-key idea at
@@ -104,6 +125,17 @@ SELECT doc_id, lang,
        CASE WHEN round(len(list_filter(tk, x -> list_contains({_STOP_SQL}, x))) * 1.0
                        / len(tk), 6) >= 0.05
             THEN 'en_like' ELSE 'other' END AS lang_guess
+FROM t
+"""
+
+_BPE_SQL_RE = BPE_RE.replace("'", "''")
+
+SQL_BPE_TOKEN_COUNT = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS tk,
+                  regexp_extract_all(text, '{_BPE_SQL_RE}') AS bpe
+           FROM documents)
+SELECT doc_id, len(tk) AS n_ws_tokens, len(bpe) AS n_bpe_tokens,
+       round(len(bpe) * 1.0 / len(tk), 6) AS tokens_per_word
 FROM t
 """
 
