@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embedding_neardup": lambda s, d: knn.q_embedding_neardup(_emb(s, d)),
         "q_simhash_ann_candidates": lambda s, d: knn.q_simhash_ann_candidates(_emb(s, d)),
         "q_ivf_ann_pairs": lambda s, d: knn.q_ivf_ann_pairs(_emb(s, d)),
+        "q_ann_topk": lambda s, d: knn.q_ann_topk(_emb(s, d)),
         # --- generic LibSVM source (the reference's input format, R:451) ---
         "q_libsvm_scan": lambda s, d: _libsvm(s),
         # --- the audio corpus pipeline (rows-only check) ---
@@ -145,6 +146,7 @@ def oracle_sql() -> dict[str, str]:
         # integer dot products, bit-identical across engines
         "q_simhash_ann_candidates": knn.SQL_SIMHASH_ANN_CANDIDATES,
         "q_ivf_ann_pairs": knn.SQL_IVF_ANN_PAIRS,
+        "q_ann_topk": knn.SQL_ANN_TOPK,
         "q_libsvm_scan": _LIBSVM_SQL,
         # q_audio_dedup_components: binary audio + iterative fixpoint -> not
         # SQL-expressible; verified against the brute oracle in tests

@@ -35,7 +35,10 @@ AUDIO_N = int(os.environ.get("BENCH_AUDIO_N", "4000"))
 HEADLINE = [
     "q_lsh_candidates",
     "q_jaccard_verify",
+    "q_text_components",
     "q_minhash_sigs",
+    "q_bpe_token_count",
+    "q_simhash_neardup",
     "q_dedup_exact",
     "q_token_stats",
     "q_doc_fingerprint",

@@ -103,15 +103,26 @@ def q_simhash_ann_candidates(emb: DataFrame) -> DataFrame:
     (round(x * 1e6)) and the hyperplane weights are {+1,-1} literals, so
     every projection is exact integer arithmetic (|dot| < 2^33 << 2^53) and
     the sign bits are bit-identical across engines — this is what makes the
-    DuckDB oracle possible where the float version was order-sensitive."""
+    DuckDB oracle possible where the float version was order-sensitive.
+
+    The hyperplane matrix is one 2-D literal (16 x 64) consumed by nested
+    higher-order functions: a compact expression tree (unrolling 16
+    separate 64-wide aggregates made codegen compilation the dominant
+    cost)."""
     from relieff_lsh_spark.operators.capped import capped_pairs
 
-    planes = ann_hyperplanes()
-    # one 2-D literal (16 x 64) + nested higher-order functions: a compact
-    # expression tree (unrolling 16 separate 64-wide aggregates made codegen
-    # compilation the dominant cost)
+    sigs = _ann_band_sigs(emb)
+    return capped_pairs(sigs, ["band_id", "band_hash"], "vec_id", ANN_BUCKET_CAP)
+
+
+def _ann_band_sigs(emb: DataFrame, band_bits: int = ANN_BAND_BITS) -> DataFrame:
+    """(vec_id, band_id, band_hash): integer-exact random-hyperplane SimHash
+    banding over the ANN_PLANES sign bits, band width `band_bits` (so
+    ANN_PLANES // band_bits bands — fewer bits per band = more, coarser
+    probes = higher recall at lower selectivity)."""
+    n_bands = ANN_PLANES // band_bits
     planes_lit = F.array(*[
-        F.array(*[F.lit(v) for v in row]) for row in planes
+        F.array(*[F.lit(v) for v in row]) for row in ann_hyperplanes()
     ])
     vq = F.transform(
         F.col("embedding"),
@@ -131,23 +142,63 @@ def q_simhash_ann_candidates(emb: DataFrame) -> DataFrame:
     staged = emb.select("vec_id", vq.alias("vq")).select(
         "vec_id", bits.alias("bits")
     )
-    pow2 = F.array(*[F.lit(1 << i) for i in range(ANN_BAND_BITS)])
+    pow2 = F.array(*[F.lit(1 << i) for i in range(band_bits)])
 
     def band(b: int):
-        chunk = F.slice(F.col("bits"), b * ANN_BAND_BITS + 1, ANN_BAND_BITS)
+        chunk = F.slice(F.col("bits"), b * band_bits + 1, band_bits)
         return F.aggregate(
             F.zip_with(chunk, pow2, lambda x, w: x * w), F.lit(0),
             lambda acc, t: acc + t,
         )
 
-    sigs = staged.select(
+    stack_args: list = [F.lit(n_bands)]
+    for b in range(n_bands):
+        stack_args += [F.lit(b), band(b)]
+    return staged.select(
         F.col("vec_id"),
-        F.stack(F.lit(2), F.lit(0), band(0), F.lit(1), band(1)).alias(
-            "band_id", "band_hash"
-        ),
-    ).localCheckpoint()  # evaluate the signature expression once, not on all
-    # three sides of the count-filtered self-join
-    return capped_pairs(sigs, ["band_id", "band_hash"], "vec_id", ANN_BUCKET_CAP)
+        F.stack(*stack_args).alias("band_id", "band_hash"),
+    ).localCheckpoint()  # evaluate the signature expression once, not on
+    # every side of the downstream self-join
+
+
+ANN_TOPK_BAND_BITS = 4  # 4 bands x 4 bits: recall-oriented probe geometry;
+#                         at per-bit agreement p, P(candidate) = 1-(1-p^4)^4
+#                         (~0.43 at the synthetic table's top-5 cos ~0.31)
+
+
+def q_ann_topk(emb: DataFrame) -> DataFrame:
+    """End-to-end approximate top-K search: band-collision candidates ->
+    exact cosine verify -> per-query row_number <= K. The approximate twin
+    of q_knn_bruteforce (same output shape; may return fewer than K rows
+    per query when the LSH probes miss — that recall gap IS the ANN
+    trade-off, measured against the theoretical collision probability in
+    tests/test_ann.py).
+
+    No bucket cap needed here, by construction: the probe side is the
+    bounded query set, so a degenerate bucket of c vectors emits
+    O(N_QUERIES * c) pairs — linear in c, never O(c^2)."""
+    sigs = _ann_band_sigs(emb, ANN_TOPK_BAND_BITS)
+    qb = sigs.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "band_id", "band_hash"
+    )
+    cand = (
+        qb.join(sigs, ["band_id", "band_hash"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    v = emb.select("vec_id", _dbl("embedding").alias("v"))
+    scored = (
+        cand.join(v.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv")), "query_id")
+        .join(v.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv")), "neighbor_id")
+        .withColumn("cos_sim", F.round(_cos(F.col("qv"), F.col("cv")), 6))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", "cos_sim")
+    )
 
 
 SQL_KNN_BRUTEFORCE = f"""
@@ -281,6 +332,53 @@ SELECT a, b FROM capped_cand
 
 
 SQL_SIMHASH_ANN_CANDIDATES = _ann_sql()
+
+
+def _ann_topk_sql() -> str:
+    planes = ann_hyperplanes()
+    rows = ",\n    ".join(
+        f"({p}, [{', '.join(str(w) for w in planes[p])}])"
+        for p in range(ANN_PLANES)
+    )
+    cos = (
+        "round(list_dot_product(ea.v, eb.v)"
+        " / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6)"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * {ANN_QUANT}) AS BIGINT)) AS vq
+  FROM embeddings),
+planes(p, w) AS (VALUES
+    {rows}),
+bits AS (
+  SELECT e.vec_id, pl.p,
+         CASE WHEN list_dot_product(e.vq, pl.w) > 0 THEN 1 ELSE 0 END AS bit
+  FROM e CROSS JOIN planes pl),
+bands AS (
+  SELECT vec_id, p // {ANN_TOPK_BAND_BITS} AS band_id,
+         CAST(sum(bit * (1 << (p % {ANN_TOPK_BAND_BITS}))) AS INT) AS band_hash
+  FROM bits GROUP BY vec_id, p // {ANN_TOPK_BAND_BITS}),
+cand AS (
+  SELECT DISTINCT qa.vec_id AS query_id, cb.vec_id AS neighbor_id
+  FROM bands qa
+  JOIN bands cb ON qa.band_id = cb.band_id AND qa.band_hash = cb.band_hash
+  WHERE qa.vec_id < {N_QUERIES} AND cb.vec_id != qa.vec_id),
+scored AS (
+  SELECT c.query_id, c.neighbor_id, {cos} AS cos_sim
+  FROM cand c
+  JOIN e ea ON ea.vec_id = c.query_id
+  JOIN e eb ON eb.vec_id = c.neighbor_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, rank, neighbor_id, cos_sim FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+SQL_ANN_TOPK = _ann_topk_sql()
 
 SQL_EMBEDDING_NEARDUP = f"""
 WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
