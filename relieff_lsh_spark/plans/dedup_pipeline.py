@@ -14,7 +14,7 @@ Stage graph (SURVEY.md §3.4):
                  verified    [snapshot]   exact Hamming/Jaccard/substring
                     │
                     v
-                 components  [snapshot]   min-label propagation fixpoint
+                 components  [snapshot]   large-star/small-star fixpoint
 
 Every [snapshot] is a SnapshotCatalog write recording per-partition lineage
 and stage counters; `run(resume=True)` skips any stage whose snapshot

@@ -20,8 +20,12 @@ Design (per micro-batch, inside foreachBatch — full batch API available):
      filter is on a partition column), then left-semi joins down to the
      exact touched buckets
   4. candidate pairs within touched buckets, keep only pairs with >= 1 new
-     endpoint (old-old pairs were emitted by an earlier batch), exact-verify,
-     append to the verified edge table
+     endpoint (old-old pairs were emitted by an earlier batch), exact-verify
+     against the signatures state PRUNED to the candidate endpoints' id-hash
+     buckets (the signatures state is partitioned by pmod(xxhash64(clip_id),
+     BUCKETS), mirroring the bands state — without it the verify join scans
+     the full signature history every batch, O(history) I/O), append to the
+     verified edge table
   5. components are computed on demand from the accumulated edges (label
      propagation is global by nature; clusters stay correct across batches
      because edges are never lost)
@@ -124,7 +128,9 @@ class IncrementalDedup:
         new_sigs = clip_signatures(batch, self.cfg).localCheckpoint()
         # idempotent state writes: per-batch subdirectory, overwrite mode —
         # an at-least-once replay of this batch rewrites, never duplicates
-        new_sigs.write.mode("overwrite").parquet(
+        new_sigs.withColumn(
+            "sig_bucket", F.pmod(F.xxhash64("clip_id"), F.lit(BUCKETS))
+        ).write.mode("overwrite").partitionBy("sig_bucket").parquet(
             os.path.join(self.sig_path, f"batch_id={int(batch_id)}")
         )
         new_bands = self._batch_bands(batch, new_sigs).localCheckpoint()
@@ -156,7 +162,23 @@ class IncrementalDedup:
             .where(F.coalesce("a_new", F.lit(False)) | F.coalesce("b_new", F.lit(False)))
             .select("a", "b", "channels")
         )
-        verified = verify_candidates(cand, self.signatures(), self.cfg)
+        # prune the signature-state scan to the candidate endpoints' id-hash
+        # buckets (partition-column filter -> file-level pruning, symmetric
+        # with the bands-state prune above)
+        cand = cand.localCheckpoint()
+        endpoints = cand.select(F.col("a").alias("clip_id")).union(
+            cand.select(F.col("b").alias("clip_id"))
+        )
+        sig_buckets = [
+            int(r[0])
+            for r in endpoints.select(
+                F.pmod(F.xxhash64("clip_id"), F.lit(BUCKETS)).alias("sb")
+            ).distinct().collect()
+        ]
+        sigs_pruned = self.signatures().where(
+            F.col("sig_bucket").isin(sig_buckets)
+        )
+        verified = verify_candidates(cand, sigs_pruned, self.cfg)
         verified.write.mode("overwrite").parquet(
             os.path.join(self.edges_path, f"batch_id={int(batch_id)}")
         )
@@ -165,6 +187,7 @@ class IncrementalDedup:
             "new_clips": int(n_new),
             "bands_rows_joined": int(rows_scanned),
             "buckets_pruned_to": len(hit_buckets),
+            "sig_buckets_pruned_to": len(sig_buckets),
             "dropped_buckets": stats.dropped_buckets,
             "salted_buckets": stats.salted_buckets,
         })
