@@ -264,8 +264,9 @@ def q_lsh_bands(docs: DataFrame) -> DataFrame:
 def q_lsh_candidates(docs: DataFrame) -> DataFrame:
     """Banded-MinHash candidate pairs over the augmented corpus: the corpus
     pipeline's core band self-join (SURVEY.md §2.3 J4) on the documents
-    table, fully SQL-replayable."""
-    sig = signature_df(augmented_docs(docs)).localCheckpoint()
+    table, fully SQL-replayable. No shingle arrays in the materialized
+    state — candidates need only the band relation."""
+    sig = signature_df(augmented_docs(docs), keep_shingles=False).localCheckpoint()
     return _candidates_from(sig)
 
 
