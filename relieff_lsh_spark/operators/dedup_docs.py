@@ -163,8 +163,10 @@ def simhash_df(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash, chunk0..chunk3) — 64-bit SimHash by per-bit majority
     vote over the distinct shingle hashes: the corpus pipeline's audio
     SimHash-64 (same 64/4x16 geometry, DedupConfig defaults) re-expressed
-    over text with md5 so DuckDB can replay it bit-for-bit. Explode +
-    hash-agg: partial aggregation makes the vote map-side combinable.
+    over text with md5 so DuckDB can replay it bit-for-bit. The per-bit
+    vote is a single shuffle-free aggregate fold over the shingle hashes
+    (64 one-bit counters per doc in one pass; the DuckDB oracle votes via
+    explode + group-by, same values by construction).
 
     64 bits matter at scale: a 16-bit hash gives 16 buckets/band, so every
     bucket crosses the skew cap once the corpus passes ~1k docs and recall
@@ -179,24 +181,44 @@ def simhash_df(docs: DataFrame) -> DataFrame:
     d1 = docs.select("doc_id", shingles_expr(tokens("text")).alias("sh")).where(
         F.size("sh") > 0
     )
-    # two 32-bit hash words per shingle (bits 0-31 and 32-63 of the vote)
-    rows = d1.select(
-        "doc_id", F.explode("sh").alias("s")
-    ).select(
-        "doc_id",
-        F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("bigint").alias("hlo"),
-        F.conv(F.substring(F.md5("s"), 9, 8), 16, 10).cast("bigint").alias("hhi"),
+    # one md5 per shingle, split into two 32-bit words (bits 0-31 / 32-63 of
+    # the vote); md5 computed on the inner lambda var so it runs once
+    hp = F.transform(
+        F.transform(F.col("sh"), lambda s: F.md5(s)),
+        lambda m: F.struct(
+            F.conv(F.substring(m, 1, 8), 16, 10).cast("bigint").alias("hlo"),
+            F.conv(F.substring(m, 9, 8), 16, 10).cast("bigint").alias("hhi"),
+        ),
     )
-    votes = rows.groupBy("doc_id").agg(*[
-        F.sum(
-            F.shiftright(F.col("hlo" if i < 32 else "hhi"), i % 32)
-            .bitwiseAND(F.lit(1)) * 2 - 1
-        ).alias(f"v{i}")
-        for i in range(SIM_BITS)
-    ])
+
+    def bitvec(h):
+        return F.array(*[
+            F.shiftright(h["hlo" if i < 32 else "hhi"], i % 32)
+            .bitwiseAND(F.lit(1))
+            for i in range(SIM_BITS)
+        ])
+
+    # single shuffle-free fold: 64 one-bit counters per doc in one pass over
+    # the shingle hashes (the explode + 64-column hash aggregate this
+    # replaces shuffled |shingles| rows per doc); votes_i = 2*ones_i - n.
+    # Checkpoint barrier before the per-bit unpacking — `ones` must be an
+    # attribute there, or alias inlining re-runs the fold per chunk (the
+    # CollapseProject trap, module docstring).
+    init = F.array_repeat(F.lit(0).cast("bigint"), SIM_BITS)
+    d2 = d1.select(
+        "doc_id",
+        F.size("sh").alias("n_sh"),
+        F.aggregate(
+            hp, init, lambda acc, h: F.zip_with(acc, bitvec(h), lambda a, b: a + b)
+        ).alias("ones"),
+    ).localCheckpoint(eager=False)
+
     def chunk(b: int):
         terms = [
-            F.when(F.col(f"v{b * SIM_BAND_BITS + j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            F.when(
+                F.element_at("ones", b * SIM_BAND_BITS + j + 1) * 2 - F.col("n_sh") > 0,
+                F.lit(1 << j),
+            ).otherwise(F.lit(0))
             for j in range(SIM_BAND_BITS)
         ]
         out = terms[0]
@@ -204,7 +226,7 @@ def simhash_df(docs: DataFrame) -> DataFrame:
             out = out + t
         return out.cast("bigint")
 
-    with_chunks = votes.select(
+    with_chunks = d2.select(
         "doc_id", *[chunk(b).alias(f"chunk{b}") for b in range(SIM_BANDS)]
     )
     # pack 4x16 bits; bit 63 (top bit of chunk3) applied as min-long so no
