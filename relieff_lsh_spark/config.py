@@ -79,6 +79,14 @@ class DedupConfig:
         # probability 1-(1-j^r)^b. The north_rule demands dup-pair recall
         # >= 0.99, so the banding scheme itself must clear that bar at the
         # configured threshold — checked here, not just asserted empirically.
+        # The rotated second banding needs >= 2 bands (to have a boundary to
+        # rotate across) and >= 2 rows per band (a half-band offset of 0
+        # would just duplicate the primary bands).
+        if self.refine_bands and (self.bands < 2 or self.rows_per_band < 2):
+            raise ValueError(
+                "refine_bands requires bands >= 2 and rows_per_band >= 2 "
+                f"(got bands={self.bands}, rows_per_band={self.rows_per_band})"
+            )
         if self.text_recall_at_threshold < 0.99:
             raise ValueError(
                 f"banded MinHash recall at jaccard_min={self.jaccard_min} is "

@@ -61,11 +61,22 @@ def band_candidates(
 
     # explicit repartition by the signature-band key ahead of the self-join
     # (north_rule); the bucket-count window below reuses this exchange, so
-    # counting costs no second pass and no second shuffle.
+    # counting costs no second pass and no second shuffle. The ordered
+    # row_number window shares the same exchange (it adds a partition-local
+    # sort only) and marks exactly ONE representative row per bucket, which
+    # makes the skew counters below exact integers — no floating-point
+    # reciprocal summation (whose accumulated ulp error could misround at
+    # extreme hot-bucket counts), no second shuffle, no AQE-dependent
+    # partitioning reuse (localCheckpoint under AQE drops outputPartitioning,
+    # so a post-checkpoint groupBy would be a real exchange).
     w = Window.partitionBy(*BUCKET_KEYS)
     annotated = (
         bands.repartition(n_part, *BUCKET_KEYS)
         .withColumn("bucket_n", F.count("*").over(w))
+        .withColumn(
+            "bucket_rep",
+            F.row_number().over(w.orderBy("clip_id")) == 1,
+        )
     )
 
     # one materialized pass: the stats aggregate and both self-join sides
@@ -74,17 +85,11 @@ def band_candidates(
 
     hot = F.col("bucket_n") > cap * factor
     warm = (F.col("bucket_n") > cap) & ~hot
-    # All skew-policy counters from ONE tiny action over the materialized
-    # relation: each bucket contributes bucket_n rows of weight 1/bucket_n,
-    # so the per-bucket counts sum to exactly the number of buckets.
+    rep = F.col("bucket_rep")
     stats_row = annotated.agg(
-        F.count(F.when(hot, 1)).alias("rows"),
-        F.coalesce(
-            F.round(F.sum(F.when(hot, 1.0 / F.col("bucket_n")))), F.lit(0)
-        ).alias("buckets"),
-        F.coalesce(
-            F.round(F.sum(F.when(warm, 1.0 / F.col("bucket_n")))), F.lit(0)
-        ).alias("salted"),
+        F.coalesce(F.sum(F.when(hot & rep, F.col("bucket_n"))), F.lit(0)).alias("rows"),
+        F.count(F.when(hot & rep, 1)).alias("buckets"),
+        F.count(F.when(warm & rep, 1)).alias("salted"),
     ).collect()[0]
 
     kept = annotated.where(~hot).withColumn(

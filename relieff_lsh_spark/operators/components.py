@@ -133,6 +133,9 @@ def connected_components(
 
     converged = e.isEmpty()
     it = start_round
+    last_ckpt = start_round  # rounds-since-checkpoint tracker: the loop
+    # advances `it` by 2 per pass, so a naive `it % checkpoint_every == 0`
+    # with an odd cadence would only fire on multiples of 2*checkpoint_every
     prev_sum = None if converged else _checksum(e)
     while not converged and it < max_iters:
         # TWO star rounds composed lazily per materialization barrier: the
@@ -156,10 +159,11 @@ def connected_components(
             )
             if diff == 0:
                 converged = True
-        if checkpoint_dir and (it % checkpoint_every == 0) and not converged:
+        if checkpoint_dir and (it - last_ckpt >= checkpoint_every) and not converged:
             path = os.path.join(checkpoint_dir, f"round_{it}")
             new_e.write.mode("overwrite").parquet(path)
             new_e = spark.read.parquet(path)
+            last_ckpt = it
         e = new_e
         prev_sum = new_sum
 

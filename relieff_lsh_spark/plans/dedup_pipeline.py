@@ -117,10 +117,19 @@ class DedupPipeline:
         res = connected_components(
             verified.select("a", "b"), vertices, checkpoint_dir=ckpt
         )
-        if res.converged:
-            import shutil
+        if not res.converged:
+            # Raise BEFORE the snapshot write: a persisted non-converged
+            # components table would be silently reused by run(resume=True).
+            # The round-checkpoint dir is left in place so a retry with a
+            # larger max_iters resumes the fixpoint, not restarts it.
+            raise RuntimeError(
+                "connected-components did not converge within max_iters; "
+                f"no components snapshot written — retry with a larger "
+                f"max_iters (fixpoint resumes from {ckpt})"
+            )
+        import shutil
 
-            shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
         return res.components, {"iterations": res.iterations, "converged": res.converged}
 
     # -- orchestration --------------------------------------------------------
@@ -159,10 +168,12 @@ class DedupPipeline:
         )
         comps = _run_stage("components", lambda: self.stage_components(verified))
         if self.metrics["components"].get("counters", {}).get("converged") is False:
-            # a non-converged fixpoint would silently ship wrong clusters
+            # Defensive: stage_components raises before writing on
+            # non-convergence, so this only trips on a manifest persisted by
+            # an older engine version resumed here.
             raise RuntimeError(
-                "connected-components did not converge within max_iters; "
-                "components snapshot is untrustworthy — raise max_iters"
+                "resumed components snapshot records converged=False — drop "
+                "the components table (or run with resume=False) and re-run"
             )
 
         sizes = comps.groupBy("component_id").agg(F.count("*").alias("n"))

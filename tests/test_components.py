@@ -86,3 +86,24 @@ def test_resume_from_round_checkpoint(spark, tmp_path):
     assert resumed.iterations > 2  # continued counting from the saved round
     got = {r["clip_id"]: r["component_id"] for r in resumed.components.collect()}
     assert all(c == "p00" for c in got.values())
+
+
+def test_checkpoint_cadence_odd_interval(spark, tmp_path):
+    """checkpoint_every is honored in rounds even though the loop advances
+    the round counter by 2 per pass: with checkpoint_every=3 a long-diameter
+    graph must persist a round no later than round 4 (the first pass where
+    rounds-since-last-checkpoint >= 3). The pre-fix `it % checkpoint_every`
+    test would first fire at round 6."""
+    import os
+
+    vertices = [f"c{i:02d}" for i in range(40)]
+    edges = [(vertices[i], vertices[i + 1]) for i in range(39)]
+    e = spark.createDataFrame(edges, ["a", "b"])
+    v = spark.createDataFrame([(x,) for x in vertices], ["clip_id"])
+    ckpt = str(tmp_path / "rounds_odd")
+
+    res = connected_components(
+        e, v, max_iters=4, checkpoint_dir=ckpt, checkpoint_every=3
+    )
+    assert not res.converged  # path-40 needs more than 4 rounds
+    assert os.path.exists(os.path.join(ckpt, "round_4", "_SUCCESS"))
