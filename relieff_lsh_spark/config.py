@@ -52,6 +52,18 @@ class DedupConfig:
     #     because its K-NN lists can be incomplete, ours is a threshold test.
     refine_bands: bool = False
 
+    # --- verify-stage MinHash prefilter ---
+    # Candidate pairs only join their (unbounded-width) shingle arrays for
+    # exact-Jaccard verification when the MinHash lane-agreement estimate is
+    # within `minhash_prefilter_slack` of jaccard_min (or the pair can pass
+    # via another channel). With n_perms=128 the estimate's sd at j=0.8 is
+    # ~0.035, so a 0.15 slack is >4 sigma: the probability of pruning a pair
+    # whose exact Jaccard clears the threshold is ~1e-5 per at-threshold
+    # pair and decays geometrically above it. This bounds the verify-stage
+    # shuffle payload to the fixed-width signature columns for the
+    # (overwhelming) majority of candidates that fail verification.
+    minhash_prefilter_slack: float = 0.15
+
     # --- skew / work budget (maxComparisons analog, reference R:159,173) ---
     bucket_cap: int = 64        # max rows per (band, hash) bucket before action
     salt_factor: int = 8        # hot buckets split into this many sub-buckets

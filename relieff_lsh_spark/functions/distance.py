@@ -25,6 +25,17 @@ def jaccard_sets(a: Column, b: Column) -> Column:
     return F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0))
 
 
+def minhash_agree(a: Column, b: Column) -> Column:
+    """Number of agreeing MinHash lanes between two equal-length
+    array<bigint> signatures (the MinHash Jaccard estimate is this divided
+    by the signature length). JVM-side fold; NULL if either side is NULL."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+
+
 def contains_verbatim(needle: Column, haystack: Column) -> Column:
     """Word-boundary verbatim containment of one transcript in another."""
     pad_n = F.concat(F.lit(" "), F.trim(needle), F.lit(" "))

@@ -42,6 +42,17 @@ MOD = 2147483647  # 2^31-1; (2^32)*(2*15+1) << 2^63, overflow-safe in both engin
 DOC_BUCKET_CAP = 64  # skew cap: buckets larger than this emit no pairs
 #                      (count-filtered join, SQL-mirrored; one degenerate
 #                      band over boilerplate docs is O(c^2) uncapped)
+PREFILTER_MIN_AGREE = 6  # MinHash-estimate prefilter (SQL-mirrored): a
+#                      candidate pair joins its (unbounded-width) shingle
+#                      arrays for exact-Jaccard verification only if >= 6 of
+#                      its 16 minhash lanes agree. The colliding band alone
+#                      guarantees 4; requiring 6 (est >= 0.375, i.e. the 0.5
+#                      threshold minus 0.125 slack) prunes most spurious
+#                      collisions while the probability of pruning a pair at
+#                      exact j = 0.5 is P(Binom(12, 0.5) <= 1) ~ 0.3% (and
+#                      decays geometrically above the threshold). The rule is
+#                      deterministic over the shared md5 minhash, so both
+#                      engines apply it identically.
 
 
 def tokens(col="text"):
@@ -292,10 +303,27 @@ def q_lsh_candidates(docs: DataFrame) -> DataFrame:
     return _candidates_from(sig)
 
 
+def _prefiltered(cand: DataFrame, sig: DataFrame) -> DataFrame:
+    """Fixed-width MinHash prefilter ahead of the shingle-array join (the
+    corpus verify stage's tier-1, operators/verify.py): keep pairs with
+    >= PREFILTER_MIN_AGREE agreeing minhash lanes."""
+    from relieff_lsh_spark.functions.distance import minhash_agree
+
+    mh = sig.select("doc_id", "mh")
+    return (
+        cand.join(mh.select(F.col("doc_id").alias("a"), F.col("mh").alias("mh_a")), "a")
+        .join(mh.select(F.col("doc_id").alias("b"), F.col("mh").alias("mh_b")), "b")
+        .where(minhash_agree(F.col("mh_a"), F.col("mh_b")) >= PREFILTER_MIN_AGREE)
+        .select("a", "b")
+    )
+
+
 def q_jaccard_verify(docs: DataFrame) -> DataFrame:
-    """Exact-Jaccard verification of the LSH candidates (threshold 0.5)."""
+    """Exact-Jaccard verification of the LSH candidates (threshold 0.5),
+    behind the MinHash-estimate prefilter — shingle arrays are only shuffled
+    for pairs the fixed-width estimate cannot rule out."""
     sig = signature_df(augmented_docs(docs)).localCheckpoint()
-    cand = _candidates_from(sig)
+    cand = _prefiltered(_candidates_from(sig), sig)
     sh = sig.select("doc_id", "sh")
     return (
         cand.join(sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a")), "a")
@@ -421,6 +449,19 @@ _CAND = (
     + ",\n  cand AS (SELECT a, b FROM capped_cand)"
 )
 
+# MinHash-estimate prefilter: exact SQL mirror of _prefiltered (lane
+# agreement counted from the long-format mh CTE)
+_PRE = f"""
+  pre AS (
+    SELECT c.a, c.b
+    FROM cand c
+    JOIN mh ma ON ma.doc_id = c.a
+    JOIN mh mb ON mb.doc_id = c.b AND mb.perm_id = ma.perm_id
+              AND mb.minhash = ma.minhash
+    GROUP BY c.a, c.b
+    HAVING count(*) >= {PREFILTER_MIN_AGREE})
+"""
+
 SQL_DEDUP_EXACT = f"""
 WITH both_t AS (
   SELECT doc_id, text FROM documents
@@ -466,10 +507,11 @@ WITH {_AUG},
 {_sh_cte('aug')},
 {_MH_FROM_SH},
 {_CAND},
+{_PRE},
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
 inter AS (
   SELECT c.a, c.b, count(*) AS n_int
-  FROM cand c
+  FROM pre c
   JOIN sh sa ON sa.doc_id = c.a
   JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
   GROUP BY 1, 2)
@@ -487,10 +529,11 @@ WITH RECURSIVE {_AUG},
 {_sh_cte('aug')},
 {_MH_FROM_SH},
 {_CAND},
+{_PRE},
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
 inter AS (
   SELECT c.a, c.b, count(*) AS n_int
-  FROM cand c
+  FROM pre c
   JOIN sh sa ON sa.doc_id = c.a
   JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
   GROUP BY 1, 2),

@@ -54,13 +54,25 @@ def q_knn_bruteforce(emb: DataFrame) -> DataFrame:
     )
 
 
+EMB_LABEL_CAP = 256  # skew cap on the blocking key: a label group larger
+#                      than this emits no pairs (count-filtered join, same
+#                      policy as operators/capped.py and the corpus bucket
+#                      cap) — a data-dependent hot label can no longer
+#                      degrade the self-join to O(c^2). At the shipped SFs
+#                      every label group is under the cap (max 218 at
+#                      sf0.1), so results are identical to the uncapped
+#                      form; the cap exists for the skewed corpus case.
+
+
 def q_embedding_neardup(emb: DataFrame) -> DataFrame:
     """Label-blocked near-duplicate pairs (cosine >= threshold). Blocking is
     the deterministic analog of LSH bucketing here: candidates only within a
     partition key, then exact verification — same candidate->verify shape as
-    the corpus pipeline."""
-    a = emb.select(F.col("vec_id").alias("a"), F.col("label"), _dbl("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("b"), F.col("label"), _dbl("embedding").alias("vb"))
+    the corpus pipeline, including its bucket cap."""
+    counts = emb.groupBy("label").agg(F.count("*").alias("label_n"))
+    kept = emb.join(counts, "label").where(F.col("label_n") <= EMB_LABEL_CAP)
+    a = kept.select(F.col("vec_id").alias("a"), F.col("label"), _dbl("embedding").alias("va"))
+    b = kept.select(F.col("vec_id").alias("b"), F.col("label"), _dbl("embedding").alias("vb"))
     return (
         a.join(b, "label")
         .where(F.col("a") < F.col("b"))
@@ -218,23 +230,54 @@ SELECT query_id, rank, neighbor_id, cos_sim FROM ranked WHERE rank <= {TOP_K}
 """
 
 IVF_MIN_COS = 0.30
+IVF_GROUPS = 2    # independent direction groups; cell space = IVF_DIRS^IVF_GROUPS
+IVF_DIRS = ANN_PLANES // IVF_GROUPS  # directions per group (8)
+IVF_PROBES = 2    # multi-probe: each vector is assigned to its top-P
+#                   directions per group, so boundary pairs still co-probe
+IVF_CELL_CAP = 64  # in-cell skew cap (count-filtered, SQL-replayable)
+_DOT_MASK_MIN = -(1 << 62)  # below any reachable quantized dot product
 
 
 def q_ivf_ann_pairs(emb: DataFrame) -> DataFrame:
-    """IVF-shaped ANN: coarse-quantize every vector to one of ANN_PLANES
-    inverted lists (argmax of the exact integer dot with the literal
-    direction matrix — deterministic cross-engine, ties -> first index),
-    then exact cosine verification within each list. The candidate->verify
-    shape of the corpus pipeline with a centroid quantizer instead of LSH
-    bands; at scale each cell is an independent partition of the corpus.
+    """IVF-shaped ANN with a scalable cell structure: the coarse quantizer
+    is the PRODUCT of IVF_GROUPS independent argmax codes (one per group of
+    IVF_DIRS literal directions), so the cell count is IVF_DIRS^IVF_GROUPS
+    and expected cell size is n / DIRS^GROUPS — add a group (or widen DIRS)
+    as n grows, instead of the round-2 design's FIXED 16 cells whose in-cell
+    all-pairs verify was Θ(n²/16). Two further scale guards:
 
-    Completeness caveat by construction (same as any single-probe IVF):
-    pairs straddling a cell boundary are missed; multi-probe = assign to
-    top-P cells. The LSH-banded variant (q_simhash_ann_candidates) is the
-    recall-oriented path."""
-    planes = ann_hyperplanes()
+      * multi-probe: every vector is assigned to its top-IVF_PROBES
+        directions per group (P^G composite probes), closing the
+        single-probe boundary-miss caveat;
+      * the in-cell join runs through the count-filtered bucket cap
+        (operators/capped.py), so one degenerate cell cannot emit O(c²)
+        pairs (tests/test_ann.py pins this with a planted hot cell).
+
+    All arithmetic is exact integers (quantized embeddings x {+1,-1} literal
+    directions), ties broken by direction index — deterministic
+    cross-engine, which is what makes the DuckDB oracle exact."""
+    from relieff_lsh_spark.operators.capped import capped_pairs
+
+    asg = _ivf_assignments(emb)
+    pairs = capped_pairs(asg, ["c0", "c1"], "vec_id", IVF_CELL_CAP)
+    v = emb.select("vec_id", _dbl("embedding").alias("v"))
+    return (
+        pairs.join(v.select(F.col("vec_id").alias("a"), F.col("v").alias("va")), "a")
+        .join(v.select(F.col("vec_id").alias("b"), F.col("v").alias("vb")), "b")
+        .withColumn("cos_sim", F.round(_cos(F.col("va"), F.col("vb")), 6))
+        .where(F.col("cos_sim") >= IVF_MIN_COS)
+        .select("a", "b", "cos_sim")
+    )
+
+
+def _ivf_assignments(emb: DataFrame) -> DataFrame:
+    """(vec_id, c0, c1): one row per composite probe cell — the cross
+    product of each group's top-IVF_PROBES directions (1-based within the
+    group). Narrow (per-row HOF arithmetic, no shuffle); the checkpoint is
+    the usual CollapseProject barrier so the 16 integer dots are computed
+    once per row, not once per downstream reference."""
     planes_lit = F.array(*[
-        F.array(*[F.lit(v) for v in row]) for row in planes
+        F.array(*[F.lit(v) for v in row]) for row in ann_hyperplanes()
     ])
     vq = F.transform(
         F.col("embedding"),
@@ -248,27 +291,42 @@ def q_ivf_ann_pairs(emb: DataFrame) -> DataFrame:
             lambda acc, t: acc + t,
         ),
     )
-    staged = emb.select("vec_id", _dbl("embedding").alias("v"), vq.alias("vq"))
-    cells = staged.select(
-        "vec_id", "v",
-        F.array_position(dots, F.array_max(dots)).cast("int").alias("cell"),
-    ).localCheckpoint()
-    a = cells.select(F.col("vec_id").alias("a"), F.col("cell"), F.col("v").alias("va"))
-    b = cells.select(F.col("vec_id").alias("b"), F.col("cell"), F.col("v").alias("vb"))
+    staged = (
+        emb.select("vec_id", vq.alias("vq"))
+        .select("vec_id", dots.alias("dots"))
+        .localCheckpoint(eager=False)
+    )
+
+    def probe_pair(g: int):
+        """Top-2 direction indices of group g (1-based), ties -> lower
+        index: first = first occurrence of the max; second = first
+        occurrence of the max after masking the first."""
+        gd = F.slice(F.col("dots"), g * IVF_DIRS + 1, IVF_DIRS)
+        first = F.array_position(gd, F.array_max(gd))
+        masked = F.transform(
+            gd, lambda x, i: F.when(i == first - 1, F.lit(_DOT_MASK_MIN)).otherwise(x)
+        )
+        second = F.array_position(masked, F.array_max(masked))
+        return F.array(first.cast("int"), second.cast("int"))
+
     return (
-        a.join(b, "cell")
-        .where(F.col("a") < F.col("b"))
-        .withColumn("cos_sim", F.round(_cos(F.col("va"), F.col("vb")), 6))
-        .where(F.col("cos_sim") >= IVF_MIN_COS)
-        .select("cell", "a", "b", "cos_sim")
+        staged.select("vec_id", probe_pair(0).alias("p0"), probe_pair(1).alias("p1"))
+        .select("vec_id", F.explode("p0").alias("c0"), "p1")
+        .select("vec_id", "c0", F.explode("p1").alias("c1"))
     )
 
 
 def _ivf_sql() -> str:
+    from relieff_lsh_spark.operators.capped import capped_pairs_sql
+
     planes = ann_hyperplanes()
     rows = ",\n    ".join(
-        f"({p + 1}, [{', '.join(str(w) for w in planes[p])}])"
+        f"({p}, [{', '.join(str(w) for w in planes[p])}])"
         for p in range(ANN_PLANES)
+    )
+    cos = (
+        "round(list_dot_product(ea.v, eb.v)"
+        " / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6)"
     )
     return f"""
 WITH e AS (
@@ -276,26 +334,28 @@ WITH e AS (
          list_transform(embedding,
                         x -> CAST(round(CAST(x AS DOUBLE) * {ANN_QUANT}) AS BIGINT)) AS vq
   FROM embeddings),
-planes(c, w) AS (VALUES
+planes(p, w) AS (VALUES
     {rows}),
 dots AS (
-  SELECT e.vec_id, pl.c, list_dot_product(e.vq, pl.w) AS dot
+  SELECT e.vec_id, pl.p, list_dot_product(e.vq, pl.w) AS dot
   FROM e CROSS JOIN planes pl),
-cells AS (
-  SELECT vec_id, CAST(min(c) FILTER (WHERE dot = mx) AS INT) AS cell
-  FROM (SELECT vec_id, c, dot, max(dot) OVER (PARTITION BY vec_id) AS mx FROM dots)
-  GROUP BY vec_id)
-SELECT ca.cell, ea.vec_id AS a, eb.vec_id AS b,
-       round(list_dot_product(ea.v, eb.v)
-             / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6)
-         AS cos_sim
-FROM cells ca JOIN cells cb ON ca.cell = cb.cell
-JOIN e ea ON ea.vec_id = ca.vec_id
-JOIN e eb ON eb.vec_id = cb.vec_id
-WHERE ca.vec_id < cb.vec_id
-  AND round(list_dot_product(ea.v, eb.v)
-            / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6)
-      >= {IVF_MIN_COS}
+ranked AS (
+  SELECT vec_id, p // {IVF_DIRS} AS grp, p % {IVF_DIRS} AS dir, dot,
+         row_number() OVER (PARTITION BY vec_id, p // {IVF_DIRS}
+                            ORDER BY dot DESC, p ASC) AS rk
+  FROM dots),
+probes AS (SELECT vec_id, grp, CAST(dir + 1 AS INT) AS c
+           FROM ranked WHERE rk <= {IVF_PROBES}),
+asg AS (
+  SELECT p0.vec_id, p0.c AS c0, p1.c AS c1
+  FROM probes p0 JOIN probes p1 ON p1.vec_id = p0.vec_id
+  WHERE p0.grp = 0 AND p1.grp = 1),
+{capped_pairs_sql('asg', ['c0', 'c1'], 'vec_id', IVF_CELL_CAP)}
+SELECT c.a, c.b, {cos} AS cos_sim
+FROM capped_cand c
+JOIN e ea ON ea.vec_id = c.a
+JOIN e eb ON eb.vec_id = c.b
+WHERE {cos} >= {IVF_MIN_COS}
 """
 
 
@@ -381,7 +441,10 @@ SELECT query_id, rank, neighbor_id, cos_sim FROM ranked WHERE rank <= {TOP_K}
 SQL_ANN_TOPK = _ann_topk_sql()
 
 SQL_EMBEDDING_NEARDUP = f"""
-WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+WITH e0 AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+counts AS (SELECT label, count(*) AS label_n FROM e0 GROUP BY label),
+e AS (SELECT e0.* FROM e0 JOIN counts USING (label)
+      WHERE counts.label_n <= {EMB_LABEL_CAP})
 SELECT a.label, a.vec_id AS a, b.vec_id AS b,
        round(list_dot_product(a.v, b.v)
              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)

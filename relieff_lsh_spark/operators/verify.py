@@ -12,8 +12,19 @@ metrics, all JVM-side expressions (SURVEY.md §2.6 F1):
   substr   = word-boundary verbatim containment        (substring channel)
 
 A pair is a duplicate if ANY metric passes its configured threshold.
-Signatures are attached with two shuffle equi-joins (the DataFrame form of
-the reference's BroadcastLookupProvider, R:124 — broadcast is impossible at
+
+Two-tier attach (the 100 TB shuffle-budget fix): the first signature join
+ships only FIXED-WIDTH columns — simhash (8 B) and the minhash signature
+(n_perms x 8 B) — and computes hamming plus the MinHash lane-agreement
+estimate of Jaccard. Only pairs that could still pass some metric (hamming
+already passed, substr channel, or estimate within
+cfg.minhash_prefilter_slack of jaccard_min) join the unbounded-width shingle
+arrays for the exact Jaccard — so the dominant shuffle payload scales with
+the (small) survivor set, not the full candidate set. Every OUTPUT row still
+carries the exact Jaccard: the estimate only prunes, never reports.
+
+Signatures are attached with shuffle equi-joins (the DataFrame form of the
+reference's BroadcastLookupProvider, R:124 — broadcast is impossible at
 10^12 rows, so the planner's shuffle join on clip_id is the scale-correct
 choice; AQE will still broadcast at small SF).
 """
@@ -24,7 +35,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from relieff_lsh_spark.config import DedupConfig
-from relieff_lsh_spark.functions.distance import hamming64, jaccard_sets, substr_either
+from relieff_lsh_spark.functions.distance import (
+    hamming64,
+    jaccard_sets,
+    minhash_agree,
+    substr_either,
+)
 
 VERIFIED_COLS = ["a", "b", "hamming", "jaccard", "substr_hit", "channels"]
 
@@ -32,34 +48,55 @@ VERIFIED_COLS = ["a", "b", "hamming", "jaccard", "substr_hit", "channels"]
 def verify_candidates(
     cand: DataFrame, signatures: DataFrame, cfg: DedupConfig
 ) -> DataFrame:
-    """cand(a, b, channels) x signatures(clip_id, simhash, shingles,
+    """cand(a, b, channels) x signatures(clip_id, simhash, minhash, shingles,
     transcript) -> verified pairs with metrics.
 
     Transcripts are only compared for pairs that arrived via the substr
     channel — containment is meaningless for band-collision pairs and the
     string compare is the most expensive metric.
     """
-    # Minimal-column signature attach: only (simhash, shingles) ride the big
-    # shuffle. Transcripts are joined ONLY onto the substr-channel subset —
-    # shipping every transcript through both signature joins measurably
-    # flattened this stage's core scaling at 160k rows.
-    sig_a = signatures.select(
+    # Tier 1: fixed-width signature attach (simhash + minhash). Shingle
+    # arrays and transcripts do NOT ride this join.
+    fixed = signatures.select("clip_id", "simhash", "minhash")
+    fx_a = fixed.select(
         F.col("clip_id").alias("a"),
         F.col("simhash").alias("simhash_a"),
-        F.col("shingles").alias("shingles_a"),
+        F.col("minhash").alias("mh_a"),
     )
-    sig_b = signatures.select(
+    fx_b = fixed.select(
         F.col("clip_id").alias("b"),
         F.col("simhash").alias("simhash_b"),
-        F.col("shingles").alias("shingles_b"),
+        F.col("minhash").alias("mh_b"),
     )
-    joined = (
-        cand.join(sig_a, "a").join(sig_b, "b")
+    scored = (
+        cand.join(fx_a, "a").join(fx_b, "b")
         .withColumn("hamming", hamming64(F.col("simhash_a"), F.col("simhash_b")))
+        .withColumn(
+            "mh_est",
+            # NULL-safe: a missing signature must not prune (1.0 = keep)
+            F.coalesce(
+                minhash_agree(F.col("mh_a"), F.col("mh_b"))
+                / F.lit(float(cfg.n_perms)),
+                F.lit(1.0),
+            ),
+        )
+    )
+    is_substr_cand = F.array_contains(F.col("channels"), F.lit("substr"))
+    could_pass = (
+        F.coalesce(F.col("hamming") <= cfg.hamming_max, F.lit(False))
+        | is_substr_cand
+        | (F.col("mh_est") >= F.lit(cfg.jaccard_min - cfg.minhash_prefilter_slack))
+    )
+    kept = scored.where(could_pass).drop("mh_a", "mh_b", "mh_est")
+
+    # Tier 2: exact Jaccard over shingle arrays, survivors only.
+    sh = signatures.select("clip_id", "shingles")
+    joined = (
+        kept.join(sh.select(F.col("clip_id").alias("a"), F.col("shingles").alias("shingles_a")), "a")
+        .join(sh.select(F.col("clip_id").alias("b"), F.col("shingles").alias("shingles_b")), "b")
         .withColumn("jaccard", jaccard_sets(F.col("shingles_a"), F.col("shingles_b")))
     )
 
-    is_substr_cand = F.array_contains(F.col("channels"), F.lit("substr"))
     texts = signatures.select("clip_id", "transcript")
     t_a = texts.select(F.col("clip_id").alias("a"), F.col("transcript").alias("t_a"))
     t_b = texts.select(F.col("clip_id").alias("b"), F.col("transcript").alias("t_b"))

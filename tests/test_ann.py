@@ -61,3 +61,40 @@ def test_ann_topk_pairs_are_true_cosines(spark):
         key = (row.query_id, row.neighbor_id)
         if key in brute:
             assert row.cos_sim == brute[key]
+
+
+def test_ivf_hot_cell_is_capped(spark):
+    """A degenerate cell (every vector identical -> identical probe cells)
+    must NOT emit O(c^2) pairs: the count-filtered cap drops the bucket."""
+    n = 3 * knn.IVF_CELL_CAP  # well past the cap
+    rows = [(i, [1.0] + [0.0] * (knn.ANN_DIM - 1), 0) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<float>, label int")
+    out = knn.q_ivf_ann_pairs(emb)
+    assert out.count() == 0  # bucket over cap -> no pairs from it
+
+
+def test_ivf_multiprobe_assignments_shape(spark):
+    """Every vector probes exactly IVF_PROBES^IVF_GROUPS composite cells,
+    with per-group direction codes in [1, IVF_DIRS]."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(50)
+    asg = knn._ivf_assignments(emb)
+    from pyspark.sql import functions as F
+
+    per_vec = asg.groupBy("vec_id").count().select("count").distinct().collect()
+    assert [r["count"] for r in per_vec] == [knn.IVF_PROBES ** knn.IVF_GROUPS]
+    bounds = asg.agg(
+        F.min("c0"), F.max("c0"), F.min("c1"), F.max("c1")
+    ).collect()[0]
+    assert bounds[0] >= 1 and bounds[1] <= knn.IVF_DIRS
+    assert bounds[2] >= 1 and bounds[3] <= knn.IVF_DIRS
+
+
+def test_embedding_neardup_hot_label_is_capped(spark):
+    """One hot label past EMB_LABEL_CAP contributes no pairs; small labels
+    are unaffected (same policy as the corpus bucket cap)."""
+    hot_n = knn.EMB_LABEL_CAP + 10
+    rows = [(i, [1.0] * 4, 99) for i in range(hot_n)]
+    rows += [(1000, [1.0] * 4, 1), (1001, [1.0] * 4, 1)]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<float>, label int")
+    got = {(r.a, r.b) for r in knn.q_embedding_neardup(emb).collect()}
+    assert got == {(1000, 1001)}
