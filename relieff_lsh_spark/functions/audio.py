@@ -33,33 +33,54 @@ SIGNATURE_SCHEMA = T.StructType([
 ])
 
 
-def decode_pcm(buf: bytes, codec: str) -> tuple[np.ndarray, int]:
-    """Decode one clip to float32 [-1,1] + sample rate.
-
-    pcm_s16le in a RIFF/WAVE container is implemented exactly (44-byte
-    header). Other codecs are a clearly-marked stub: the Spark-side plumbing
-    (schema, batching, UDF signature) is real; the decoders need external
-    libs not present in this container.
-    """
-    if codec == "pcm_s16le":
-        sr_hz = struct.unpack_from("<I", buf, 24)[0]
-        n_bytes = struct.unpack_from("<I", buf, 40)[0]
-        pcm = np.frombuffer(buf, dtype=np.int16, count=n_bytes // 2, offset=44)
-        return pcm.astype(np.float32) / 32768.0, int(sr_hz)
-    raise NotImplementedError(
-        f"codec {codec!r}: compressed-audio decode requires external codec "
-        "libraries (ffmpeg/soundfile) not available in this environment"
-    )
+def _decode_wav_pcm_s16le(buf: bytes) -> tuple[np.ndarray, int]:
+    """pcm_s16le in a RIFF/WAVE container, exactly (44-byte header)."""
+    sr_hz = struct.unpack_from("<I", buf, 24)[0]
+    n_bytes = struct.unpack_from("<I", buf, 40)[0]
+    pcm = np.frombuffer(buf, dtype=np.int16, count=n_bytes // 2, offset=44)
+    return pcm.astype(np.float32) / 32768.0, int(sr_hz)
 
 
-def try_simhash(buf, codec: str, cfg: DedupConfig, planes: np.ndarray) -> int | None:
+# codec -> decoder(bytes) -> (float32 PCM in [-1,1], sample rate). Compressed
+# codecs (opus/mp3/flac/...) need external libraries (ffmpeg/soundfile) not
+# present in this container; registering a decoder here — or passing an
+# override dict through audio_signatures/clip_signatures/DedupPipeline — is
+# the full integration surface (the dispatch, quarantine-exit, and signature
+# paths are covered with an injected mock decoder in
+# tests/test_audio_channel.py).
+DECODERS: dict = {"pcm_s16le": _decode_wav_pcm_s16le}
+
+
+def decode_pcm(
+    buf: bytes, codec: str, decoders: dict | None = None
+) -> tuple[np.ndarray, int]:
+    """Decode one clip to float32 [-1,1] + sample rate via the codec
+    registry; unknown codecs raise NotImplementedError (callers on the task
+    path catch it and QUARANTINE the clip, functions below)."""
+    dec = (decoders or DECODERS).get(codec)
+    if dec is None:
+        raise NotImplementedError(
+            f"codec {codec!r}: no registered decoder (compressed-audio decode "
+            "requires external codec libraries not available in this "
+            "environment)"
+        )
+    return dec(buf)
+
+
+def try_simhash(
+    buf,
+    codec: str,
+    cfg: DedupConfig,
+    planes: np.ndarray,
+    decoders: dict | None = None,
+) -> int | None:
     """Fused decode -> fingerprint -> SimHash for one clip; None when the
     codec has no decoder (QUARANTINE, not a task-killing raise — a real
     corpus always carries codecs this container can't decode; the clip still
     participates in the exact/text/substr channels and is counted per-codec
     in the signatures-stage manifest)."""
     try:
-        x, sr = decode_pcm(bytes(buf), codec)
+        x, sr = decode_pcm(bytes(buf), codec, decoders)
     except NotImplementedError:
         return None
     return simhash64(spectral_fingerprint(x, sr, cfg), planes)
@@ -127,9 +148,13 @@ def simhash64(fp: np.ndarray, planes: np.ndarray) -> int:
     return int(val.astype(np.int64))
 
 
-def audio_signatures(corpus: DataFrame, cfg: DedupConfig) -> DataFrame:
+def audio_signatures(
+    corpus: DataFrame, cfg: DedupConfig, decoders: dict | None = None
+) -> DataFrame:
     """corpus -> (clip_id, simhash, n_samples, rms) via one fused
-    mapInPandas pass. Drops `bytes` before any shuffle."""
+    mapInPandas pass. Drops `bytes` before any shuffle. `decoders` overrides
+    the codec registry (closed over, so it ships to python workers with the
+    UDF — module-level monkeypatching would not)."""
     planes = simhash_planes(cfg)
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -137,7 +162,7 @@ def audio_signatures(corpus: DataFrame, cfg: DedupConfig) -> DataFrame:
             ids, hashes, counts, rmss = [], [], [], []
             for buf, codec, cid in zip(pdf["bytes"], pdf["codec"], pdf["clip_id"]):
                 try:
-                    x, sr = decode_pcm(bytes(buf), codec)
+                    x, sr = decode_pcm(bytes(buf), codec, decoders)
                 except NotImplementedError:
                     # quarantine: no decoder for this codec in-container
                     ids.append(cid); hashes.append(None)
@@ -160,12 +185,13 @@ def audio_signatures(corpus: DataFrame, cfg: DedupConfig) -> DataFrame:
     )
 
 
-def make_simhash_udf(cfg: DedupConfig):
+def make_simhash_udf(cfg: DedupConfig, decoders: dict | None = None):
     """Scalar Arrow UDF (bytes, codec) -> simhash: the fused
     decode/fingerprint/SimHash path as a projection column, so the whole
     signature table is ONE narrow scan (no per-channel scans, no join to
     merge text and audio signatures — at 10^12 rows that join is a full
-    shuffle of every signature).
+    shuffle of every signature). `decoders` overrides the codec registry
+    (captured in the UDF closure so it reaches the python workers).
     """
     from pyspark.sql import functions as F
 
@@ -174,7 +200,7 @@ def make_simhash_udf(cfg: DedupConfig):
     @F.pandas_udf(T.LongType())
     def simhash_sig(buf: pd.Series, codec: pd.Series) -> pd.Series:
         return pd.Series(
-            [try_simhash(b, c, cfg, planes) for b, c in zip(buf, codec)],
+            [try_simhash(b, c, cfg, planes, decoders) for b, c in zip(buf, codec)],
             dtype="Int64",  # nullable: undecodable codecs quarantine as NULL
         )
 

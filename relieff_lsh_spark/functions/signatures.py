@@ -25,16 +25,19 @@ from relieff_lsh_spark.functions.text import (
 )
 
 
-def clip_signatures(corpus: DataFrame, cfg: DedupConfig) -> DataFrame:
+def clip_signatures(
+    corpus: DataFrame, cfg: DedupConfig, decoders: dict | None = None
+) -> DataFrame:
     """corpus -> (clip_id, transcript, shingles, substr_keys, simhash,
     minhash, text_bands, n_shingles). Narrow; bytes dies at the scan.
+    `decoders` overrides the audio codec registry (functions/audio.py).
 
     Positional shingle-hash arrays are STAGED as projection columns, then
     distinct/minimizer views derive from the materialized columns — inline
     composition re-evaluates the hashing per window element (O(n^2)/row;
     measured 116s of a 165s stage)."""
     minhash_udf = make_minhash_udf(cfg)
-    simhash_udf = make_simhash_udf(cfg)
+    simhash_udf = make_simhash_udf(cfg, decoders)
     toks = tokens_expr("transcript")
     staged = corpus.select(
         "clip_id",

@@ -72,11 +72,13 @@ class DedupPipeline:
         cfg: DedupConfig,
         warehouse: str,
         corpus_path: str,
+        decoders: dict | None = None,
     ):
         self.spark = spark
         self.cfg = cfg
         self.catalog = SnapshotCatalog(spark, warehouse)
         self.corpus_path = corpus_path
+        self.decoders = decoders  # audio codec registry override
         self.metrics: dict[str, dict] = {}
 
     def corpus(self) -> DataFrame:
@@ -88,7 +90,7 @@ class DedupPipeline:
         UDF) and audio sigs (scalar decode/fingerprint/SimHash UDF) in a
         single narrow scan — no join, `bytes` dies at the scan and never
         shuffles."""
-        return clip_signatures(self.corpus(), self.cfg)
+        return clip_signatures(self.corpus(), self.cfg, self.decoders)
 
     def stage_candidates(self, sigs: DataFrame) -> tuple[DataFrame, dict]:
         corpus = self.corpus()

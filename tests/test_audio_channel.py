@@ -122,3 +122,53 @@ def test_mixed_codec_corpus_quarantined(spark, tiny_corpus_dir, cfg, tmp_path):
     assert top and all(
         top[i]["n_clips"] >= top[i + 1]["n_clips"] for i in range(len(top) - 1)
     )
+
+
+def test_injected_codec_decoder_leaves_quarantine(spark, tiny_corpus_dir, cfg, tmp_path):
+    """Registry-injected decoder for a non-PCM codec (the ffmpeg-less mock of
+    a compressed codec, mirroring the Iceberg mock pattern): with a decoder
+    supplied for 'opus', the same mixed corpus that quarantines in
+    test_mixed_codec_corpus_quarantined decodes fully — zero quarantined
+    clips, non-null simhashes, and bit-identical signatures to the all-PCM
+    run (the mock decodes the same underlying WAV payload)."""
+    import pyspark.sql.functions as F
+
+    from relieff_lsh_spark.functions.audio import _decode_wav_pcm_s16le, DECODERS
+    from relieff_lsh_spark.plans.dedup_pipeline import DedupPipeline
+
+    corpus = spark.read.parquet(f"{tiny_corpus_dir}/corpus.parquet")
+    mixed = corpus.withColumn(
+        "codec",
+        F.when(F.pmod(F.xxhash64("clip_id"), F.lit(3)) == 0, F.lit("opus"))
+        .otherwise(F.col("codec")),
+    )
+    assert mixed.where(F.col("codec") == "opus").count() > 0
+    mixed_path = str(tmp_path / "mixed_corpus.parquet")
+    mixed.write.parquet(mixed_path)
+
+    # the "opus" payload in this corpus is really WAV bytes, so the mock
+    # decoder is the WAV decoder under the compressed codec's name — it
+    # exercises the full dispatch + signature path for a second codec
+    decoders = dict(DECODERS)
+    decoders["opus"] = _decode_wav_pcm_s16le
+
+    pipe = DedupPipeline(
+        spark, cfg, str(tmp_path / "wh_mock"), mixed_path, decoders=decoders
+    )
+    metrics = pipe.run(resume=False)
+    assert metrics["signatures"]["quarantined_by_codec"] == {}
+
+    # signatures must equal the all-PCM baseline bit-for-bit
+    base = DedupPipeline(
+        spark, cfg, str(tmp_path / "wh_base"), f"{tiny_corpus_dir}/corpus.parquet"
+    )
+    base.run(resume=False)
+    got = {
+        r["clip_id"]: r["simhash"]
+        for r in pipe.catalog.read("signatures").select("clip_id", "simhash").collect()
+    }
+    want = {
+        r["clip_id"]: r["simhash"]
+        for r in base.catalog.read("signatures").select("clip_id", "simhash").collect()
+    }
+    assert got == want and all(v is not None for v in got.values())

@@ -1,0 +1,104 @@
+"""refine_bands end-to-end evidence (the reference's default-on
+refineGroupedGraph second pass, ReliefFFeatureSelector.scala:181-187,544):
+
+1. the rotated banding catches exactly the geometry it exists for — a run of
+   agreeing minhash rows that STRADDLES a primary band cut collides only in
+   the rotated pass;
+2. refined bands are a strict superset of base bands (recall can only
+   increase);
+3. the full pipeline with refine_bands=True still clears the 0.99
+   recall/precision gate vs the brute-force oracle (recall >= the base
+   config's, outputs converged).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from relieff_lsh_spark.config import DedupConfig
+from relieff_lsh_spark.functions.text import band_hashes_expr
+from relieff_lsh_spark.operators.banding import text_bands
+
+
+def _sig_df(spark, cfg):
+    """Two synthetic 128-lane signatures agreeing ONLY on lanes 2..5 — a
+    4-run straddling the primary cut between band 0 (lanes 0-3) and band 1
+    (lanes 4-7) at rows_per_band=4."""
+    rows = [
+        ("a", [10_000 + i for i in range(cfg.n_perms)]),
+        ("b", [
+            (10_000 + i) if 2 <= i <= 5 else (20_000 + i)
+            for i in range(cfg.n_perms)
+        ]),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, minhash array<bigint>")
+    return df.select(
+        "clip_id",
+        "minhash",
+        band_hashes_expr(F.col("minhash"), cfg).alias("text_bands"),
+        F.lit(10).alias("n_shingles"),
+    )
+
+
+def _collisions(bands_df) -> int:
+    l = bands_df.select(F.col("clip_id").alias("x"), "band_id", "band_hash")
+    r = bands_df.select(F.col("clip_id").alias("y"), "band_id", "band_hash")
+    return (
+        l.join(r, ["band_id", "band_hash"]).where(F.col("x") < F.col("y")).count()
+    )
+
+
+def test_rotated_banding_catches_straddling_run(spark):
+    base_cfg = DedupConfig(shuffle_partitions=8)
+    ref_cfg = DedupConfig(refine_bands=True, shuffle_partitions=8)
+    sigs = _sig_df(spark, base_cfg)
+    assert _collisions(text_bands(sigs, base_cfg)) == 0  # run straddles cuts
+    assert _collisions(text_bands(sigs, ref_cfg)) >= 1   # rotated band hits
+
+
+def test_refined_bands_superset_of_base(spark):
+    base_cfg = DedupConfig(shuffle_partitions=8)
+    ref_cfg = DedupConfig(refine_bands=True, shuffle_partitions=8)
+    sigs = _sig_df(spark, base_cfg)
+    base = {tuple(r) for r in text_bands(sigs, base_cfg).collect()}
+    refined = {tuple(r) for r in text_bands(sigs, ref_cfg).collect()}
+    assert base <= refined
+    assert len(refined) == len(base) + 2 * (base_cfg.bands - 1)  # +n_rot/clip
+
+
+def test_pipeline_e2e_with_refine_bands(spark, small_corpus_dir):
+    """Driver-level evidence: the refine pass runs through the real pipeline
+    and recall vs the brute oracle is >= the base config's (and >= 0.99)."""
+    from relieff_lsh_spark.operators.components import pair_recall
+    from relieff_lsh_spark.plans.dedup_pipeline import DedupPipeline
+    from relieff_lsh_spark.plans.oracle import brute_oracle
+
+    data_dir = os.path.join(os.path.dirname(__file__), "_data")
+    cfgs = {
+        "base": DedupConfig(shuffle_partitions=8),
+        "refined": DedupConfig(refine_bands=True, shuffle_partitions=8),
+    }
+    pdf = pd.read_parquet(
+        f"{small_corpus_dir}/corpus.parquet",
+        columns=["clip_id", "bytes", "codec", "transcript"],
+    )
+    oracle = spark.createDataFrame(brute_oracle(pdf, cfgs["base"]))
+
+    recalls = {}
+    for name, cfg in cfgs.items():
+        wh = os.path.join(data_dir, f"wh_refine_{name}")
+        shutil.rmtree(wh, ignore_errors=True)
+        pipe = DedupPipeline(spark, cfg, wh, f"{small_corpus_dir}/corpus.parquet")
+        metrics = pipe.run(resume=False)
+        assert metrics["components"]["counters"]["converged"]
+        m = pair_recall(pipe.catalog.read("components"), oracle)
+        recalls[name] = m
+        shutil.rmtree(wh, ignore_errors=True)
+
+    assert recalls["refined"]["recall"] >= recalls["base"]["recall"]
+    assert recalls["refined"]["recall"] >= 0.99
+    assert recalls["refined"]["precision"] >= 0.99
