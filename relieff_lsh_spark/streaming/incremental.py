@@ -12,8 +12,7 @@ Design (per micro-batch, inside foreachBatch — full batch API available):
   1. sign the new clips (same text/audio/substr/exact channels as batch)
   2. append signatures AND their band rows to state tables — bands are
      computed ONCE per clip when it arrives, so per-batch CPU is O(batch),
-     not O(history) (round 1 re-banded the full signature history every
-     batch)
+     not O(history)
   3. the bands state is hash-bucketed on band_hash into BUCKETS partition
      directories; each batch statically prunes the state scan to the
      buckets its new keys hash into (file-level pruning — the DataFrame
@@ -22,20 +21,53 @@ Design (per micro-batch, inside foreachBatch — full batch API available):
   4. candidate pairs within touched buckets, keep only pairs with >= 1 new
      endpoint (old-old pairs were emitted by an earlier batch), exact-verify
      against the signatures state PRUNED to the candidate endpoints' id-hash
-     buckets (the signatures state is partitioned by pmod(xxhash64(clip_id),
-     BUCKETS), mirroring the bands state — without it the verify join scans
-     the full signature history every batch, O(history) I/O), append to the
-     verified edge table
-  5. components are computed on demand from the accumulated edges (label
-     propagation is global by nature; clusters stay correct across batches
-     because edges are never lost)
+     buckets, append to the verified edge table
+  5. components are maintained INCREMENTALLY (see below): each batch solves
+     a mini component problem over just the new edges' endpoint labels and
+     appends label-merge edges to a (small) merge log; a components() call
+     is a label lookup + the closure of the merge log — never a fixpoint
+     over the full accumulated edge history.
+
+Incremental components state (round-3; replaces the round-2 full
+refixpoint-over-all-edges):
+
+  comp_vertices/batch_id=N/vbucket=B   (clip_id, label) — written once per
+      vertex at its arrival batch; labels may go stale after later merges
+      and are NEVER rewritten (that rewrite is what would make merge cost
+      O(component size) per batch)
+  comp_merges/batch_id=N               (u, v) — label-graph edges appended
+      when a batch's new edges connect existing labels
+
+  Per batch: look up the stored labels of the new edges' endpoints (pruned
+  to their vbucket partitions — O(touched buckets) read), run the star
+  fixpoint on the LABEL graph of just those edges (nodes = touched labels,
+  edges = one per new verified edge — O(batch) work), store new vertices
+  with their resolved root, and append (old_label -> root) merge edges for
+  old labels that changed. components() = comp_vertices JOIN (broadcast)
+  closure(comp_merges): the closure is a fixpoint over the merge log only,
+  whose size is the number of cross-batch merge EVENTS — bounded by the
+  number of duplicate components, not by edges. Labels are component-min
+  ids at every step (batch-local roots are minima; closure roots are minima
+  over connected labels), so the resolved labels equal the global fixpoint's
+  (tests/test_streaming_incremental.py pins equality).
 
 Idempotent replays: foreachBatch is at-least-once, so every state write
 lands in a `batch_id=N` subdirectory with overwrite mode — a micro-batch
 retried after a partial failure rewrites the same paths instead of
-duplicating rows (plain appends would multiply signatures through the
-verify joins). The stream checkpoint (processed-files log) provides the
-resume cursor, same story as the batch SnapshotCatalog.
+duplicating rows. Component maintenance reads only state with
+batch_id < N, so a replay of batch N sees exactly the pre-N state and
+reproduces its original (deterministic) outputs. The stream checkpoint
+(processed-files log) provides the resume cursor, same story as the batch
+SnapshotCatalog.
+
+State compaction: the per-batch `batch_id=N` layout accumulates small files
+without bound. compact() rewrites each state table's full current view into
+`_compact/<table>/v{K}` (keeping the bucket partitioning, so partition
+pruning survives), atomically swaps a pointer file, and deletes the covered
+batch directories. Readers union the compacted view with live batches
+ABOVE the covered watermark — so a replay of an already-covered batch
+(recreating its directory) is invisible to every reader and replay
+idempotency is preserved across compaction.
 
 Known, documented divergence from batch mode under the skew cap: the cap
 applies to the bucket's ACCUMULATED size at each batch, so pairs emitted
@@ -46,7 +78,9 @@ evaluates the cap once over the full corpus and drops the whole bucket.
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -62,9 +96,18 @@ from relieff_lsh_spark.operators.candidates import band_candidates
 from relieff_lsh_spark.operators.components import ComponentsResult, connected_components
 from relieff_lsh_spark.operators.verify import verify_candidates
 
-BUCKETS = 64  # band-hash bucket fanout of the bands state table; at real
-#               scale raise this (pruning granularity = state files read
-#               per batch) and compact small files periodically
+BUCKETS = 64  # hash fanout of every bucketed state table; at real scale
+#               raise this (pruning granularity = state files read per batch)
+
+# state table -> (partition column or None). The partition column is kept
+# through compaction so file-level pruning works on both layouts.
+STATE_TABLES = {
+    "signatures": "sig_bucket",
+    "bands": "bucket",
+    "verified": None,
+    "comp_vertices": "vbucket",
+    "comp_merges": None,
+}
 
 
 class IncrementalDedup:
@@ -72,32 +115,121 @@ class IncrementalDedup:
         self.spark = spark
         self.cfg = cfg
         self.state_dir = state_dir
-        self.sig_path = os.path.join(state_dir, "signatures")
-        self.bands_path = os.path.join(state_dir, "bands")
-        self.edges_path = os.path.join(state_dir, "verified")
         self.checkpoint = os.path.join(state_dir, "_stream_checkpoint")
         self.batch_stats: list[dict] = []
 
-    # -- state accessors -------------------------------------------------
+    # -- state plumbing ----------------------------------------------------
+    def _live_root(self, table: str) -> str:
+        return os.path.join(self.state_dir, table)
+
+    def _compact_root(self, table: str) -> str:
+        return os.path.join(self.state_dir, "_compact", table)
+
+    def _pointer(self, table: str) -> dict | None:
+        p = os.path.join(self._compact_root(table), "POINTER.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
     def _read_or_none(self, path: str) -> DataFrame | None:
         try:
             return self.spark.read.parquet(path)
         except Exception:
             return None
 
+    def _state(self, table: str, before_batch: int | None = None) -> DataFrame | None:
+        """Current view of a state table: compacted snapshot (if any) union
+        live batches above the compaction watermark. `before_batch` further
+        restricts LIVE batches to batch_id < before_batch — the replay
+        guard for in-batch reads (compacted rows are always below the
+        watermark, hence below any live batch id)."""
+        parts = []
+        ptr = self._pointer(table)
+        if ptr is not None:
+            cdf = self._read_or_none(
+                os.path.join(self._compact_root(table), f"v{ptr['version']}")
+            )
+            if cdf is not None:
+                parts.append(cdf)
+        live = self._read_or_none(self._live_root(table))
+        if live is not None:
+            if ptr is not None:
+                live = live.where(F.col("batch_id") > ptr["covered_through"])
+            if before_batch is not None:
+                live = live.where(F.col("batch_id") < before_batch)
+            parts.append(live.drop("batch_id"))
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _write_batch(self, table: str, df: DataFrame, batch_id: int) -> None:
+        """Idempotent state write: per-batch subdirectory, overwrite mode —
+        an at-least-once replay of this batch rewrites, never duplicates."""
+        w = df.write.mode("overwrite")
+        part = STATE_TABLES[table]
+        if part is not None:
+            w = w.partitionBy(part)
+        w.parquet(
+            os.path.join(self._live_root(table), f"batch_id={int(batch_id)}")
+        )
+
+    # -- public state accessors --------------------------------------------
     def signatures(self) -> DataFrame:
-        return self.spark.read.parquet(self.sig_path)
+        return self._state("signatures")
 
     def bands_state(self) -> DataFrame:
-        return self.spark.read.parquet(self.bands_path)
+        return self._state("bands")
 
     def verified_edges(self) -> DataFrame:
-        df = self._read_or_none(self.edges_path)
+        df = self._state("verified")
         if df is None:
             return self.spark.createDataFrame([], "a string, b string")
         return df.select("a", "b")
 
     def components(self) -> ComponentsResult:
+        """Incrementally-maintained components: stored per-vertex labels
+        resolved through the closure of the (small) label-merge log. No
+        fixpoint over the accumulated edge history."""
+        verts = self._state("comp_vertices")
+        if verts is None:
+            empty = self.spark.createDataFrame([], "clip_id string, component_id string")
+            return ComponentsResult(components=empty, iterations=0, converged=True)
+        merges = self._state("comp_merges")
+        if merges is None or merges.isEmpty():
+            comps = verts.select("clip_id", F.col("label").alias("component_id"))
+            return ComponentsResult(components=comps, iterations=0, converged=True)
+        labels = (
+            merges.select(F.col("u").alias("clip_id"))
+            .union(merges.select(F.col("v").alias("clip_id")))
+            .distinct()
+        )
+        res = connected_components(
+            merges.select(F.col("u").alias("a"), F.col("v").alias("b")), labels
+        )
+        mapping = res.components.select(
+            F.col("clip_id").alias("label"), F.col("component_id").alias("root")
+        )
+        comps = (
+            verts.select("clip_id", "label")
+            # the merge log holds one node per merge EVENT — small by
+            # construction, so the resolve join broadcasts
+            .join(F.broadcast(mapping), "label", "left")
+            .select(
+                "clip_id", F.coalesce("root", "label").alias("component_id")
+            )
+        )
+        return ComponentsResult(
+            components=comps, iterations=res.iterations, converged=res.converged
+        )
+
+    def components_full_recompute(self) -> ComponentsResult:
+        """Validation path: the global fixpoint over ALL accumulated edges
+        (the round-2 behavior). O(total edges) — use for audits, not per
+        batch; tests assert components() equals this."""
         vertices = self.signatures().select(F.col("clip_id")).distinct()
         return connected_components(self.verified_edges(), vertices)
 
@@ -120,23 +252,95 @@ class IncrementalDedup:
             )
         )
 
+    def _update_components(
+        self, batch_id: int, new_ids: DataFrame, new_edges: DataFrame
+    ) -> dict:
+        """Incremental component maintenance for one batch (docstring at the
+        top of this module). Reads only comp_vertices partitions the new
+        edges' endpoints hash into, with batch_id < this batch (replay
+        guard); work is O(batch edges + touched buckets)."""
+        eps = (
+            new_edges.select(F.col("a").alias("clip_id"))
+            .union(new_edges.select(F.col("b").alias("clip_id")))
+            .distinct()
+            .localCheckpoint()
+        )
+        stats = {"comp_buckets_pruned_to": 0, "merge_edges_appended": 0}
+        prior = self._state("comp_vertices", before_batch=batch_id)
+        if prior is not None:
+            vb = [
+                int(r[0])
+                for r in eps.select(
+                    F.pmod(F.xxhash64("clip_id"), F.lit(BUCKETS)).alias("vb")
+                ).distinct().collect()
+            ]
+            stats["comp_buckets_pruned_to"] = len(vb)
+            pruned = prior.where(F.col("vbucket").isin(vb)).select("clip_id", "label")
+            labels = eps.join(pruned, "clip_id", "left")
+        else:
+            labels = eps.withColumn("label", F.lit(None).cast("string"))
+        labels = labels.select(
+            "clip_id",
+            F.col("label").isNotNull().alias("is_old"),
+            F.coalesce("label", "clip_id").alias("label"),
+        ).localCheckpoint()
+
+        # mini component problem on the LABEL graph of this batch's edges
+        lab_a = labels.select(F.col("clip_id").alias("a"), F.col("label").alias("la"))
+        lab_b = labels.select(F.col("clip_id").alias("b"), F.col("label").alias("lb"))
+        edges_lab = (
+            new_edges.join(lab_a, "a").join(lab_b, "b")
+            .where(F.col("la") != F.col("lb"))
+            .select(F.col("la").alias("a"), F.col("lb").alias("b"))
+            .distinct()
+        )
+        nodes = labels.select(F.col("label").alias("clip_id")).distinct()
+        res = connected_components(edges_lab, nodes)
+        mapping = res.components.select(
+            F.col("clip_id").alias("node_label"), F.col("component_id").alias("root")
+        ).localCheckpoint()
+
+        # new vertices: store their resolved root (own id if untouched)
+        new_rows = (
+            new_ids.join(mapping, new_ids["clip_id"] == mapping["node_label"], "left")
+            .select(
+                new_ids["clip_id"],
+                F.coalesce("root", new_ids["clip_id"]).alias("label"),
+            )
+            .withColumn("vbucket", F.pmod(F.xxhash64("clip_id"), F.lit(BUCKETS)))
+        )
+        self._write_batch("comp_vertices", new_rows, batch_id)
+
+        # old labels whose root changed: append label-merge edges
+        merges = (
+            labels.where(F.col("is_old"))
+            .select(F.col("label").alias("node_label"))
+            .distinct()
+            .join(mapping, "node_label")
+            .where(F.col("node_label") != F.col("root"))
+            .select(F.col("node_label").alias("u"), F.col("root").alias("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        stats["merge_edges_appended"] = merges.count()
+        self._write_batch("comp_merges", merges, batch_id)
+        return stats
+
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         batch = batch.localCheckpoint()
         n_new = batch.count()
         if n_new == 0:
             return
         new_sigs = clip_signatures(batch, self.cfg).localCheckpoint()
-        # idempotent state writes: per-batch subdirectory, overwrite mode —
-        # an at-least-once replay of this batch rewrites, never duplicates
-        new_sigs.withColumn(
-            "sig_bucket", F.pmod(F.xxhash64("clip_id"), F.lit(BUCKETS))
-        ).write.mode("overwrite").partitionBy("sig_bucket").parquet(
-            os.path.join(self.sig_path, f"batch_id={int(batch_id)}")
+        self._write_batch(
+            "signatures",
+            new_sigs.withColumn(
+                "sig_bucket", F.pmod(F.xxhash64("clip_id"), F.lit(BUCKETS))
+            ),
+            batch_id,
         )
         new_bands = self._batch_bands(batch, new_sigs).localCheckpoint()
-        new_bands.write.mode("overwrite").partitionBy("bucket").parquet(
-            os.path.join(self.bands_path, f"batch_id={int(batch_id)}")
-        )
+        self._write_batch("bands", new_bands, batch_id)
 
         # Buckets the new keys hash into: a static filter on the state
         # table's partition column -> file-level pruning of the scan.
@@ -178,9 +382,10 @@ class IncrementalDedup:
         sigs_pruned = self.signatures().where(
             F.col("sig_bucket").isin(sig_buckets)
         )
-        verified = verify_candidates(cand, sigs_pruned, self.cfg)
-        verified.write.mode("overwrite").parquet(
-            os.path.join(self.edges_path, f"batch_id={int(batch_id)}")
+        verified = verify_candidates(cand, sigs_pruned, self.cfg).localCheckpoint()
+        self._write_batch("verified", verified, batch_id)
+        comp_stats = self._update_components(
+            batch_id, new_ids, verified.select("a", "b")
         )
         self.batch_stats.append({
             "batch_id": int(batch_id),
@@ -190,7 +395,70 @@ class IncrementalDedup:
             "sig_buckets_pruned_to": len(sig_buckets),
             "dropped_buckets": stats.dropped_buckets,
             "salted_buckets": stats.salted_buckets,
+            **comp_stats,
         })
+
+    # -- compaction --------------------------------------------------------
+    def compact(self) -> dict:
+        """Rewrite every state table's current view as one compacted
+        snapshot per table (bucket partitioning preserved), atomically swap
+        the pointer, and delete the covered batch_id directories. Replays of
+        covered batches stay invisible to readers (watermark filter), so
+        idempotency survives compaction."""
+        report: dict[str, dict] = {}
+        for table, part_col in STATE_TABLES.items():
+            root = self._live_root(table)
+            if not os.path.isdir(root):
+                continue
+            batch_ids = [
+                int(d.split("=", 1)[1])
+                for d in os.listdir(root)
+                if d.startswith("batch_id=")
+            ]
+            if not batch_ids:
+                continue
+            df = self._state(table)
+            if df is None:
+                continue
+            ptr = self._pointer(table)
+            covered = max(batch_ids + ([ptr["covered_through"]] if ptr else []))
+            version = (ptr["version"] + 1) if ptr else 1
+            croot = self._compact_root(table)
+            dest = os.path.join(croot, f"v{version}")
+            n_files_before = sum(
+                len([f for f in fs if f.endswith(".parquet")])
+                for _, _, fs in os.walk(root)
+            )
+            w = df.coalesce(1) if part_col is None else df.repartition(1, part_col)
+            writer = w.write.mode("overwrite")
+            if part_col is not None:
+                writer = writer.partitionBy(part_col)
+            writer.parquet(dest)
+            # atomic pointer swap, then drop superseded data
+            os.makedirs(croot, exist_ok=True)
+            tmp = os.path.join(croot, "POINTER.json.tmp")
+            with open(tmp, "w") as f:
+                json.dump({"version": version, "covered_through": covered}, f)
+            os.replace(tmp, os.path.join(croot, "POINTER.json"))
+            if ptr is not None:
+                shutil.rmtree(
+                    os.path.join(croot, f"v{ptr['version']}"), ignore_errors=True
+                )
+            for b in batch_ids:
+                if b <= covered:
+                    shutil.rmtree(
+                        os.path.join(root, f"batch_id={b}"), ignore_errors=True
+                    )
+            n_files_after = sum(
+                len([f for f in fs if f.endswith(".parquet")])
+                for _, _, fs in os.walk(os.path.join(croot, f"v{version}"))
+            )
+            report[table] = {
+                "covered_through": covered,
+                "files_before": n_files_before,
+                "files_after": n_files_after,
+            }
+        return report
 
     # -- stream wiring -----------------------------------------------------
     def run_available_now(self, input_dir: str, max_files_per_trigger: int = 1):

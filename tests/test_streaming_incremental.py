@@ -139,3 +139,114 @@ def test_replayed_batch_is_idempotent(spark, cfg: DedupConfig, tiny_corpus_dir,
     assert inc.signatures().count() == sigs1
     assert inc.bands_state().count() == bands1
     assert inc.verified_edges().count() == edges1
+
+
+def test_incremental_components_equal_global_fixpoint(spark, cfg: DedupConfig,
+                                                      tiny_corpus_dir, tmp_path):
+    """The incrementally-maintained components (stored labels + merge-log
+    closure) must equal the global fixpoint over ALL accumulated edges,
+    exactly — and the per-batch maintenance must stay O(batch): the merge
+    log is bounded by merge EVENTS (<< edges), and the vertex-label lookup
+    is pruned to the endpoints' hash buckets."""
+    import shutil as sh
+
+    corpus = spark.read.parquet(os.path.join(tiny_corpus_dir, "corpus.parquet"))
+    in_dir = str(tmp_path / "incoming")
+    os.makedirs(in_dir)
+    n_files = 6
+    part = F.pmod(F.xxhash64("clip_id"), F.lit(n_files))
+    for i in range(n_files):
+        staged = str(tmp_path / f"s{i}")
+        corpus.where(part == i).coalesce(1).write.parquet(staged)
+        for f in os.listdir(staged):
+            if f.endswith(".parquet"):
+                sh.copy(os.path.join(staged, f), os.path.join(in_dir, f"f{i}_{f}"))
+
+    inc = IncrementalDedup(spark, cfg, str(tmp_path / "state"))
+    inc.run_available_now(in_dir, max_files_per_trigger=1)
+
+    fast = {
+        (r["clip_id"], r["component_id"])
+        for r in inc.components().components.collect()
+    }
+    full = {
+        (r["clip_id"], r["component_id"])
+        for r in inc.components_full_recompute().components.collect()
+    }
+    assert fast == full and len(fast) == 300
+
+    # work bounds: merge log << edge history; lookups pruned below fanout
+    from relieff_lsh_spark.streaming.incremental import BUCKETS
+
+    n_edges = inc.verified_edges().count()
+    n_merges = inc._state("comp_merges").count()
+    assert n_merges < n_edges / 2, (n_merges, n_edges)
+    for s in inc.batch_stats[1:]:
+        assert s["comp_buckets_pruned_to"] <= BUCKETS
+
+
+def test_compaction_preserves_state_and_reduces_files(spark, cfg: DedupConfig,
+                                                      tiny_corpus_dir, tmp_path):
+    """compact(): file counts drop, every reader sees identical state,
+    replays of covered batches stay invisible (idempotency survives), and
+    subsequent batches keep working on the compacted layout."""
+    corpus = spark.read.parquet(os.path.join(tiny_corpus_dir, "corpus.parquet"))
+    n_batches = 8
+    # seeded split hash: decorrelated from the state tables' own
+    # pmod(xxhash64(clip_id), BUCKETS) bucketing, so each batch spreads
+    # across many bucket dirs (the layout compaction exists to fix)
+    part = F.pmod(F.xxhash64("clip_id", F.lit(12345)), F.lit(n_batches))
+    batches = [corpus.where(part == i).localCheckpoint() for i in range(n_batches)]
+
+    inc = IncrementalDedup(spark, cfg, str(tmp_path / "state"))
+    for i in range(n_batches - 1):
+        inc.process_batch(batches[i], batch_id=i)
+
+    before = {
+        "sigs": inc.signatures().count(),
+        "bands": inc.bands_state().count(),
+        "edges": inc.verified_edges().count(),
+        "comps": sorted(
+            (r["clip_id"], r["component_id"])
+            for r in inc.components().components.collect()
+        ),
+    }
+    report = inc.compact()
+    for table in ("signatures", "bands", "comp_vertices", "verified"):
+        assert report[table]["files_after"] < report[table]["files_before"], report
+
+    after = {
+        "sigs": inc.signatures().count(),
+        "bands": inc.bands_state().count(),
+        "edges": inc.verified_edges().count(),
+        "comps": sorted(
+            (r["clip_id"], r["component_id"])
+            for r in inc.components().components.collect()
+        ),
+    }
+    assert after == before
+
+    # replay of a covered batch: recreated dirs are below the watermark ->
+    # invisible; all counts unchanged
+    inc.process_batch(batches[1], batch_id=1)
+    assert inc.signatures().count() == before["sigs"]
+    assert inc.verified_edges().count() == before["edges"]
+
+    # a NEW batch after compaction lands above the watermark and is seen
+    inc.process_batch(batches[n_batches - 1], batch_id=n_batches - 1)
+    assert inc.signatures().count() == 300
+    fast = {
+        (r["clip_id"], r["component_id"])
+        for r in inc.components().components.collect()
+    }
+    full = {
+        (r["clip_id"], r["component_id"])
+        for r in inc.components_full_recompute().components.collect()
+    }
+    assert fast == full
+
+    # second compaction cycle (pointer version bump + old version cleanup)
+    inc.compact()
+    assert inc.signatures().count() == 300
+    croot = os.path.join(str(tmp_path / "state"), "_compact", "signatures")
+    assert sorted(d for d in os.listdir(croot) if d.startswith("v")) == ["v2"]
