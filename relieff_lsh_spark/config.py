@@ -52,17 +52,21 @@ class DedupConfig:
     #     because its K-NN lists can be incomplete, ours is a threshold test.
     refine_bands: bool = False
 
-    # --- verify-stage MinHash prefilter ---
+    # --- verify-stage prefilter (tier 1 of the two-tier verify) ---
     # Candidate pairs only join their (unbounded-width) shingle arrays for
-    # exact-Jaccard verification when the MinHash lane-agreement estimate is
-    # within `minhash_prefilter_slack` of jaccard_min (or the pair can pass
-    # via another channel). With n_perms=128 the estimate's sd at j=0.8 is
-    # ~0.035, so a 0.15 slack is >4 sigma: the probability of pruning a pair
-    # whose exact Jaccard clears the threshold is ~1e-5 per at-threshold
-    # pair and decays geometrically above it. This bounds the verify-stage
-    # shuffle payload to the fixed-width signature columns for the
-    # (overwhelming) majority of candidates that fail verification.
-    minhash_prefilter_slack: float = 0.15
+    # exact-Jaccard verification when at least this many of the bands
+    # (32 x 8 B, already in the signature) agree — or the pair can pass via
+    # another channel. One agreeing band is what MADE it a candidate, so
+    # requiring a second is the cheapest possible "can this pass Jaccard?"
+    # screen: at jaccard_min=0.8 a true pair misses with probability
+    # P(Binom(bands, j^r) <= min_bands - 1) ~ 1.7e-6; a spurious collision
+    # (j <= 0.5) has p_band = j^r <= 0.0625 and is pruned with probability
+    # >= 0.86 before the shingle arrays ever move. The first design used the
+    # full minhash signature (128 x 8 B) as the tier-1 payload — measured
+    # 2.3x verify-stage wall vs the band columns on the n=640k bench, since
+    # 1 KB/side exceeds typical shingle arrays; the band count is both
+    # smaller (256 B) and a TIGHTER screen.
+    verify_prefilter_min_bands: int = 2
 
     # --- skew / work budget (maxComparisons analog, reference R:159,173) ---
     bucket_cap: int = 64        # max rows per (band, hash) bucket before action

@@ -110,7 +110,11 @@ def connected_components(
     vertices: DataFrame,
     max_iters: int = 25,
     checkpoint_dir: str | None = None,
-    checkpoint_every: int = 5,
+    checkpoint_every: int = 10,  # rounds between storage-backed checkpoints;
+    # 10 = one mid-fixpoint write for the O(log n) round counts dedup graphs
+    # exhibit (the star fixpoint converges in ~8 rounds on the 92k-diameter
+    # bench component) — the restart-protection/extra-write trade-off
+    # round 2 effectively ran with
 ) -> ComponentsResult:
     """edges(a, b) undirected + vertices(clip_id) -> (clip_id, component_id)
     where component_id = min clip_id in the component. Singletons keep their

@@ -14,14 +14,18 @@ metrics, all JVM-side expressions (SURVEY.md §2.6 F1):
 A pair is a duplicate if ANY metric passes its configured threshold.
 
 Two-tier attach (the 100 TB shuffle-budget fix): the first signature join
-ships only FIXED-WIDTH columns — simhash (8 B) and the minhash signature
-(n_perms x 8 B) — and computes hamming plus the MinHash lane-agreement
-estimate of Jaccard. Only pairs that could still pass some metric (hamming
-already passed, substr channel, or estimate within
-cfg.minhash_prefilter_slack of jaccard_min) join the unbounded-width shingle
-arrays for the exact Jaccard — so the dominant shuffle payload scales with
-the (small) survivor set, not the full candidate set. Every OUTPUT row still
-carries the exact Jaccard: the estimate only prunes, never reports.
+ships only FIXED-WIDTH columns — simhash (8 B) and the LSH band hashes
+(cfg.bands x 8 B) — and computes hamming plus the number of agreeing bands.
+Only pairs that could still pass some metric (hamming already passed,
+substr channel, or >= cfg.verify_prefilter_min_bands agreeing bands) join
+the unbounded-width shingle arrays for the exact Jaccard — so the dominant
+shuffle payload scales with the (small) survivor set, not the full
+candidate set. Every OUTPUT row still carries the exact Jaccard: the band
+count only prunes, never reports. (Design note: an earlier tier 1 shipped
+the full minhash signature, 128 x 8 B — a WORSE payload than typical
+shingle arrays and a weaker screen than the band count; see
+DedupConfig.verify_prefilter_min_bands for the miss-probability math and
+the measured regression that motivated the switch.)
 
 Signatures are attached with shuffle equi-joins (the DataFrame form of the
 reference's BroadcastLookupProvider, R:124 — broadcast is impossible at
@@ -48,36 +52,36 @@ VERIFIED_COLS = ["a", "b", "hamming", "jaccard", "substr_hit", "channels"]
 def verify_candidates(
     cand: DataFrame, signatures: DataFrame, cfg: DedupConfig
 ) -> DataFrame:
-    """cand(a, b, channels) x signatures(clip_id, simhash, minhash, shingles,
-    transcript) -> verified pairs with metrics.
+    """cand(a, b, channels) x signatures(clip_id, simhash, text_bands,
+    shingles, transcript) -> verified pairs with metrics.
 
     Transcripts are only compared for pairs that arrived via the substr
     channel — containment is meaningless for band-collision pairs and the
     string compare is the most expensive metric.
     """
-    # Tier 1: fixed-width signature attach (simhash + minhash). Shingle
+    # Tier 1: fixed-width signature attach (simhash + band hashes). Shingle
     # arrays and transcripts do NOT ride this join.
-    fixed = signatures.select("clip_id", "simhash", "minhash")
+    fixed = signatures.select("clip_id", "simhash", "text_bands")
     fx_a = fixed.select(
         F.col("clip_id").alias("a"),
         F.col("simhash").alias("simhash_a"),
-        F.col("minhash").alias("mh_a"),
+        F.col("text_bands").alias("tb_a"),
     )
     fx_b = fixed.select(
         F.col("clip_id").alias("b"),
         F.col("simhash").alias("simhash_b"),
-        F.col("minhash").alias("mh_b"),
+        F.col("text_bands").alias("tb_b"),
     )
     scored = (
         cand.join(fx_a, "a").join(fx_b, "b")
         .withColumn("hamming", hamming64(F.col("simhash_a"), F.col("simhash_b")))
         .withColumn(
-            "mh_est",
-            # NULL-safe: a missing signature must not prune (1.0 = keep)
+            "bands_agree",
+            # minhash_agree counts equal lanes of any equal-length arrays;
+            # NULL-safe: a missing signature must not prune (keep)
             F.coalesce(
-                minhash_agree(F.col("mh_a"), F.col("mh_b"))
-                / F.lit(float(cfg.n_perms)),
-                F.lit(1.0),
+                minhash_agree(F.col("tb_a"), F.col("tb_b")),
+                F.lit(cfg.bands),
             ),
         )
     )
@@ -85,9 +89,9 @@ def verify_candidates(
     could_pass = (
         F.coalesce(F.col("hamming") <= cfg.hamming_max, F.lit(False))
         | is_substr_cand
-        | (F.col("mh_est") >= F.lit(cfg.jaccard_min - cfg.minhash_prefilter_slack))
+        | (F.col("bands_agree") >= F.lit(cfg.verify_prefilter_min_bands))
     )
-    kept = scored.where(could_pass).drop("mh_a", "mh_b", "mh_est")
+    kept = scored.where(could_pass).drop("tb_a", "tb_b", "bands_agree")
 
     # Tier 2: exact Jaccard over shingle arrays, survivors only.
     sh = signatures.select("clip_id", "shingles")

@@ -98,3 +98,33 @@ def test_embedding_neardup_hot_label_is_capped(spark):
     emb = spark.createDataFrame(rows, "vec_id int, embedding array<float>, label int")
     got = {(r.a, r.b) for r in knn.q_embedding_neardup(emb).collect()}
     assert got == {(1000, 1001)}
+
+
+def test_ivf_multiprobe_recall_vs_brute(spark):
+    """Multi-probe IVF recall against the exhaustive pair set: the top-2
+    probes per group must recover a solid majority of all cos >= threshold
+    pairs (single-probe product quantization alone loses boundary pairs;
+    the probes exist to close that gap). Precision is 1.0 by construction
+    (every emitted pair is exact-cosine verified)."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    a = e.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0),
+                      lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate("va", F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate("vb", F.lit(0.0), lambda acc, x: acc + x * x))
+    brute = {
+        (r["a"], r["b"])
+        for r in a.join(b, F.col("a") < F.col("b"))
+        .withColumn("cos_sim", dot / (na * nb))
+        .where(F.col("cos_sim") >= knn.IVF_MIN_COS)
+        .collect()
+    }
+    got = {(r["a"], r["b"]) for r in knn.q_ivf_ann_pairs(emb).collect()}
+    assert brute, "brute pair set empty — threshold miscalibrated for testdata"
+    assert got <= brute                      # exact verify: no false pairs
+    recall = len(got & brute) / len(brute)
+    assert recall >= 0.5, f"IVF multi-probe recall {recall:.3f}"
