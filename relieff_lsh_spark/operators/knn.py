@@ -89,8 +89,8 @@ ANN_QUANT = 1_000_000   # fixed-point scale: dot products are exact integers
 ANN_BUCKET_CAP = 64     # count-filtered skew cap (SQL-replayable drop tier)
 
 
-def ann_hyperplanes() -> list[list[int]]:
-    """Deterministic {+1,-1} hyperplane matrix (ANN_PLANES x ANN_DIM),
+def ann_hyperplanes(n_planes: int = ANN_PLANES) -> list[list[int]]:
+    """Deterministic {+1,-1} hyperplane matrix (n_planes x ANN_DIM),
     derived from md5 parity of "p{plane}:{dim}" — engine-independent, and
     PRECOMPUTED here so the plan embeds it as literal arrays (Catalyst does
     not constant-fold inside higher-order-function lambdas; deriving these
@@ -102,7 +102,7 @@ def ann_hyperplanes() -> list[list[int]]:
             1 if hashlib.md5(f"p{p}:{d}".encode()).hexdigest()[0] in "02468ace" else -1
             for d in range(ANN_DIM)
         ]
-        for p in range(ANN_PLANES)
+        for p in range(n_planes)
     ]
 
 
@@ -231,9 +231,16 @@ SELECT query_id, rank, neighbor_id, cos_sim FROM ranked WHERE rank <= {TOP_K}
 
 IVF_MIN_COS = 0.30
 IVF_GROUPS = 2    # independent direction groups; cell space = IVF_DIRS^IVF_GROUPS
-IVF_DIRS = ANN_PLANES // IVF_GROUPS  # directions per group (8)
-IVF_PROBES = 2    # multi-probe: each vector is assigned to its top-P
-#                   directions per group, so boundary pairs still co-probe
+IVF_DIRS = 16     # directions per group -> 256 cells (own plane pool, wider
+#                   than the ANN banding's 16: cell count is the knob that
+#                   must GROW with n so expected cell size stays bounded —
+#                   fixed here because the DuckDB oracle is a static SQL
+#                   string; production derives IVF_GROUPS/IVF_DIRS from the
+#                   corpus size the same way cfg.bands is configuration)
+IVF_PLANES = IVF_GROUPS * IVF_DIRS
+IVF_PROBES = 3    # multi-probe: each vector is assigned to its top-P
+#                   directions per group (P^G composite probes), so boundary
+#                   pairs still co-probe
 IVF_CELL_CAP = 64  # in-cell skew cap (count-filtered, SQL-replayable)
 _DOT_MASK_MIN = -(1 << 62)  # below any reachable quantized dot product
 
@@ -277,7 +284,7 @@ def _ivf_assignments(emb: DataFrame) -> DataFrame:
     the usual CollapseProject barrier so the 16 integer dots are computed
     once per row, not once per downstream reference."""
     planes_lit = F.array(*[
-        F.array(*[F.lit(v) for v in row]) for row in ann_hyperplanes()
+        F.array(*[F.lit(v) for v in row]) for row in ann_hyperplanes(IVF_PLANES)
     ])
     vq = F.transform(
         F.col("embedding"),
@@ -297,20 +304,28 @@ def _ivf_assignments(emb: DataFrame) -> DataFrame:
         .localCheckpoint(eager=False)
     )
 
-    def probe_pair(g: int):
-        """Top-2 direction indices of group g (1-based), ties -> lower
-        index: first = first occurrence of the max; second = first
-        occurrence of the max after masking the first."""
-        gd = F.slice(F.col("dots"), g * IVF_DIRS + 1, IVF_DIRS)
-        first = F.array_position(gd, F.array_max(gd))
-        masked = F.transform(
-            gd, lambda x, i: F.when(i == first - 1, F.lit(_DOT_MASK_MIN)).otherwise(x)
+    def mask_at(arr, pos):
+        # helper (not an inline default-arg lambda: pyspark counts lambda
+        # params to pick the HOF arity, so `lambda x, i, p=pos` breaks)
+        return F.transform(
+            arr, lambda x, i: F.when(i == pos - 1, F.lit(_DOT_MASK_MIN)).otherwise(x)
         )
-        second = F.array_position(masked, F.array_max(masked))
-        return F.array(first.cast("int"), second.cast("int"))
+
+    def probe_dirs(g: int):
+        """Top-IVF_PROBES direction indices of group g (1-based), ties ->
+        lower index: repeatedly take the first occurrence of the max and
+        mask it out — exactly row_number() OVER (ORDER BY dot DESC, idx ASC)
+        <= P, the oracle's formulation."""
+        gd = F.slice(F.col("dots"), g * IVF_DIRS + 1, IVF_DIRS)
+        picks = []
+        for _ in range(IVF_PROBES):
+            pos = F.array_position(gd, F.array_max(gd))
+            picks.append(pos.cast("int"))
+            gd = mask_at(gd, pos)
+        return F.array(*picks)
 
     return (
-        staged.select("vec_id", probe_pair(0).alias("p0"), probe_pair(1).alias("p1"))
+        staged.select("vec_id", probe_dirs(0).alias("p0"), probe_dirs(1).alias("p1"))
         .select("vec_id", F.explode("p0").alias("c0"), "p1")
         .select("vec_id", "c0", F.explode("p1").alias("c1"))
     )
@@ -319,10 +334,10 @@ def _ivf_assignments(emb: DataFrame) -> DataFrame:
 def _ivf_sql() -> str:
     from relieff_lsh_spark.operators.capped import capped_pairs_sql
 
-    planes = ann_hyperplanes()
+    planes = ann_hyperplanes(IVF_PLANES)
     rows = ",\n    ".join(
         f"({p}, [{', '.join(str(w) for w in planes[p])}])"
-        for p in range(ANN_PLANES)
+        for p in range(IVF_PLANES)
     )
     cos = (
         "round(list_dot_product(ea.v, eb.v)"
