@@ -143,9 +143,14 @@ def _run(corpus: str, cpus: int, zpath: str, tag: str) -> dict:
     s0, t0j = _cpu_jiffies()
     t0 = time.time()
     r = subprocess.run(cmd, capture_output=True, text=True, timeout=7200)
+    # full logs always persisted — a truncated tail once hid the root cause
+    # of a mid-run JVM exit for two whole measurement attempts
+    lroot = os.path.join(REPO, "BENCH", "_work")
+    with open(os.path.join(lroot, f"log_{tag}.err"), "w") as f:
+        f.write(r.stderr)
     if r.returncode != 0:
         sys.stderr.write(r.stdout[-4000:] + r.stderr[-4000:])
-        raise RuntimeError(f"run {tag} failed")
+        raise RuntimeError(f"run {tag} failed (full log: {lroot}/log_{tag}.err)")
     launch_wall = round(time.time() - t0, 1)
     s1, t1j = _cpu_jiffies()
     ru1 = resource.getrusage(resource.RUSAGE_CHILDREN)
