@@ -111,11 +111,21 @@ STATE_TABLES = {
 
 
 class IncrementalDedup:
-    def __init__(self, spark: SparkSession, cfg: DedupConfig, state_dir: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        cfg: DedupConfig,
+        state_dir: str,
+        auto_compact_every: int | None = None,
+    ):
         self.spark = spark
         self.cfg = cfg
         self.state_dir = state_dir
         self.checkpoint = os.path.join(state_dir, "_stream_checkpoint")
+        self.auto_compact_every = auto_compact_every  # batches between
+        # automatic compactions (None = manual compact() only); compaction
+        # runs between micro-batches on the foreachBatch thread, so readers
+        # never observe a half-swapped state
         self.batch_stats: list[dict] = []
 
     # -- state plumbing ----------------------------------------------------
@@ -397,6 +407,11 @@ class IncrementalDedup:
             "salted_buckets": stats.salted_buckets,
             **comp_stats,
         })
+        if (
+            self.auto_compact_every
+            and (int(batch_id) + 1) % self.auto_compact_every == 0
+        ):
+            self.batch_stats[-1]["compacted"] = self.compact()
 
     # -- compaction --------------------------------------------------------
     def compact(self) -> dict:

@@ -162,8 +162,12 @@ def test_incremental_components_equal_global_fixpoint(spark, cfg: DedupConfig,
             if f.endswith(".parquet"):
                 sh.copy(os.path.join(staged, f), os.path.join(in_dir, f"f{i}_{f}"))
 
-    inc = IncrementalDedup(spark, cfg, str(tmp_path / "state"))
+    # auto-compaction every 3 batches composes with incremental components:
+    # equality with the global fixpoint must survive mid-stream compactions
+    inc = IncrementalDedup(spark, cfg, str(tmp_path / "state"),
+                           auto_compact_every=3)
     inc.run_available_now(in_dir, max_files_per_trigger=1)
+    assert any("compacted" in s for s in inc.batch_stats)
 
     fast = {
         (r["clip_id"], r["component_id"])
