@@ -20,6 +20,7 @@ from relieff_lsh_spark.functions.text import (
     band_hashes_expr,
     make_minhash_udf,
     minimizer_keys_from,
+    rotated_band_hashes_expr,
     shingle_hashes_expr,
     tokens_expr,
 )
@@ -66,5 +67,14 @@ def clip_signatures(
         #             dedups via exact/text/substr channels
         "minhash",
         band_hashes_expr(F.col("minhash"), cfg).alias("text_bands"),
+        # fixed-width rotated-band hashes ((bands-1) x 8 B) when the refine
+        # pass is on, so tier-1 verify can credit rotated collisions without
+        # shipping the 1 KB minhash; empty array when off (uniform schema,
+        # concat with [] is the identity)
+        (
+            rotated_band_hashes_expr(F.col("minhash"), cfg)
+            if cfg.refine_bands
+            else F.array().cast("array<bigint>")
+        ).alias("text_bands_rot"),
         F.size("shingles").alias("n_shingles"),
     )

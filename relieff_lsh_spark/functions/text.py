@@ -117,6 +117,33 @@ def make_minhash_udf(cfg: DedupConfig):
     return minhash
 
 
+def rotated_band_hashes_expr(sig: Column, cfg: DedupConfig) -> Column:
+    """array<bigint>[bands-1]: the refine pass's band hashes over
+    half-band-ROTATED boundaries (rotated band bnd covers signature rows
+    [bnd*r + r//2, bnd*r + r//2 + r)) — the analog of the reference's
+    refineGroupedGraph second pass (ReliefFFeatureSelector.scala:181-187).
+    Salted with bnd + cfg.bands so rotated hashes never collide with primary
+    band ids. This ONE expression is shared by the banding join
+    (operators/banding.py) and the tier-1 verify screen (operators/verify.py)
+    so a rotated-band collision is always worth one agreement at verify —
+    without that credit the prefilter would prune exactly the pairs the
+    refine pass exists to surface (round-3 ADVICE, medium)."""
+    r = cfg.rows_per_band
+    off = r // 2
+    n_rot = cfg.bands - 1  # offsets [off, off + n_rot*r) stay in range
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_rot - 1)),
+        lambda bnd: F.xxhash64(
+            F.concat_ws(
+                ",",
+                F.transform(F.slice(sig, bnd * r + off + 1, r),
+                            lambda v: v.cast("string")),
+            ),
+            bnd + cfg.bands,
+        ),
+    )
+
+
 def band_hashes_expr(sig: Column, cfg: DedupConfig) -> Column:
     """array<bigint>[bands]: xxhash64 of each r-row slice of the signature,
     salted with the band index so identical slices in different bands never

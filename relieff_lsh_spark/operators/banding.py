@@ -47,22 +47,16 @@ def text_bands(text_sigs: DataFrame, cfg: DedupConfig) -> DataFrame:
     )
     if not cfg.refine_bands:
         return base
-    r = cfg.rows_per_band
-    off = r // 2
-    n_rot = cfg.bands - 1  # perms [off, off + n_rot*r) stay in range
-    rotated_hashes = F.transform(
-        F.sequence(F.lit(0), F.lit(n_rot - 1)),
-        lambda bnd: F.xxhash64(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.slice(F.col("minhash"), bnd * r + off + 1, r),
-                    lambda v: v.cast("string"),
-                ),
-            ),
-            bnd + cfg.bands,  # salt disjoint from primary band ids
-        ),
-    )
+    # The stored fixed-width column (clip_signatures emits it when refine is
+    # on) and the inline expression are the SAME hash (shared expr in
+    # functions/text.py), so verify's tier-1 agreement count sees exactly the
+    # hashes that produced the collision.
+    if "text_bands_rot" in text_sigs.columns:
+        rotated_hashes = F.col("text_bands_rot")
+    else:
+        from relieff_lsh_spark.functions.text import rotated_band_hashes_expr
+
+        rotated_hashes = rotated_band_hashes_expr(F.col("minhash"), cfg)
     rotated = (
         text_sigs.where(F.col("n_shingles") > 0)
         .select("clip_id", F.posexplode(rotated_hashes).alias("rot_id", "band_hash"))

@@ -17,7 +17,9 @@ Two-tier attach (the 100 TB shuffle-budget fix): the first signature join
 ships only FIXED-WIDTH columns — simhash (8 B) and the LSH band hashes
 (cfg.bands x 8 B) — and computes hamming plus the number of agreeing bands.
 Only pairs that could still pass some metric (hamming already passed,
-substr channel, or >= cfg.verify_prefilter_min_bands agreeing bands) join
+substr channel, or >= cfg.verify_prefilter_min_bands agreeing bands —
+counting BOTH primary and, with cfg.refine_bands, rotated band hashes, so
+refine-pass collisions keep their credit) join
 the unbounded-width shingle arrays for the exact Jaccard — so the dominant
 shuffle payload scales with the (small) survivor set, not the full
 candidate set. Every OUTPUT row still carries the exact Jaccard: the band
@@ -60,17 +62,31 @@ def verify_candidates(
     string compare is the most expensive metric.
     """
     # Tier 1: fixed-width signature attach (simhash + band hashes). Shingle
-    # arrays and transcripts do NOT ride this join.
-    fixed = signatures.select("clip_id", "simhash", "text_bands")
+    # arrays and transcripts do NOT ride this join. When the refine pass is
+    # on, the rotated band hashes (text_bands_rot, (bands-1) x 8 B) ride too
+    # and count toward the agreement — a pair whose ONLY collision is a
+    # rotated band starts from 1 agreement like any primary-collision pair,
+    # instead of being pruned with certainty (round-3 ADVICE, medium: the
+    # primary-only count nullified the refine pass's recall contribution for
+    # exactly its target population).
+    has_rot = "text_bands_rot" in signatures.columns
+    all_bands_col = (
+        F.concat(F.col("text_bands"), F.col("text_bands_rot"))
+        if has_rot
+        else F.col("text_bands")
+    )
+    fixed = signatures.select(
+        "clip_id", "simhash", all_bands_col.alias("all_bands")
+    )
     fx_a = fixed.select(
         F.col("clip_id").alias("a"),
         F.col("simhash").alias("simhash_a"),
-        F.col("text_bands").alias("tb_a"),
+        F.col("all_bands").alias("tb_a"),
     )
     fx_b = fixed.select(
         F.col("clip_id").alias("b"),
         F.col("simhash").alias("simhash_b"),
-        F.col("text_bands").alias("tb_b"),
+        F.col("all_bands").alias("tb_b"),
     )
     scored = (
         cand.join(fx_a, "a").join(fx_b, "b")

@@ -70,6 +70,57 @@ def test_refined_bands_superset_of_base(spark):
     assert len(refined) == len(base) + 2 * (base_cfg.bands - 1)  # +n_rot/clip
 
 
+def test_verify_keeps_rotated_only_collision(spark):
+    """Tier-1 verify credit for rotated bands (round-3 ADVICE, medium): a
+    pair whose minhash agreement lives ONLY in two rotated bands (two
+    straddling runs) — zero primary bands agree, hamming fails, no substr —
+    must still reach the exact-Jaccard tier and verify when refine_bands is
+    on. Before the fix the band-agreement screen counted primary bands only,
+    pruning exactly the population the refine pass exists to surface."""
+    from relieff_lsh_spark.functions.text import rotated_band_hashes_expr
+    from relieff_lsh_spark.operators.verify import verify_candidates
+
+    cfg = DedupConfig(refine_bands=True, shuffle_partitions=8)
+    # agreeing lanes 2..5 and 42..45: rotated bands 0 and 10 agree in full,
+    # while every primary band containing any of these lanes also contains a
+    # disagreeing lane
+    agree = set(range(2, 6)) | set(range(42, 46))
+    rows = [
+        ("a", [10_000 + i for i in range(cfg.n_perms)]),
+        ("b", [(10_000 + i) if i in agree else (20_000 + i)
+               for i in range(cfg.n_perms)]),
+    ]
+    sh = list(range(1, 11))  # identical shingle sets -> exact jaccard 1.0
+    sigs = (
+        spark.createDataFrame(rows, "clip_id string, minhash array<bigint>")
+        .select(
+            "clip_id",
+            # hamming(0, 255) = 8 > hamming_max: the audio metric cannot rescue
+            F.when(F.col("clip_id") == "a", F.lit(0)).otherwise(F.lit(255))
+            .cast("long").alias("simhash"),
+            band_hashes_expr(F.col("minhash"), cfg).alias("text_bands"),
+            rotated_band_hashes_expr(F.col("minhash"), cfg).alias("text_bands_rot"),
+            F.array(*[F.lit(v).cast("bigint") for v in sh]).alias("shingles"),
+            F.lit("x").alias("transcript"),
+        )
+        .localCheckpoint()
+    )
+    tb = {r["clip_id"]: (r["text_bands"], r["text_bands_rot"]) for r in sigs.collect()}
+    prim_agree = sum(x == y for x, y in zip(tb["a"][0], tb["b"][0]))
+    rot_agree = sum(x == y for x, y in zip(tb["a"][1], tb["b"][1]))
+    assert (prim_agree, rot_agree) == (0, 2)
+
+    cand = spark.createDataFrame(
+        [("a", "b", ["text"])], "a string, b string, channels array<string>"
+    )
+    got = verify_candidates(cand, sigs, cfg).collect()
+    assert len(got) == 1 and got[0]["jaccard"] == 1.0
+
+    # contrast: with only the primary band columns visible, the same pair is
+    # pruned by the tier-1 screen (the pre-fix behavior the advice flagged)
+    assert verify_candidates(cand, sigs.drop("text_bands_rot"), cfg).collect() == []
+
+
 def test_pipeline_e2e_with_refine_bands(spark, small_corpus_dir):
     """Driver-level evidence: the refine pass runs through the real pipeline
     and recall vs the brute oracle is >= the base config's (and >= 0.99)."""
