@@ -43,10 +43,11 @@ refixpoint-over-all-edges):
   fixpoint on the LABEL graph of just those edges (nodes = touched labels,
   edges = one per new verified edge — O(batch) work), store new vertices
   with their resolved root, and append (old_label -> root) merge edges for
-  old labels that changed. components() = comp_vertices JOIN (broadcast)
+  old labels that changed. components() = comp_vertices JOIN
   closure(comp_merges): the closure is a fixpoint over the merge log only,
-  whose size is the number of cross-batch merge EVENTS — bounded by the
-  number of duplicate components, not by edges. Labels are component-min
+  whose size is the number of cross-batch merge EVENTS since the last
+  compaction — compact() FOLDS the log (below), so it never grows with
+  stream age. Labels are component-min
   ids at every step (batch-local roots are minima; closure roots are minima
   over connected labels), so the resolved labels equal the global fixpoint's
   (tests/test_streaming_incremental.py pins equality).
@@ -55,19 +56,39 @@ Idempotent replays: foreachBatch is at-least-once, so every state write
 lands in a `batch_id=N` subdirectory with overwrite mode — a micro-batch
 retried after a partial failure rewrites the same paths instead of
 duplicating rows. Component maintenance reads only state with
-batch_id < N, so a replay of batch N sees exactly the pre-N state and
-reproduces its original (deterministic) outputs. The stream checkpoint
-(processed-files log) provides the resume cursor, same story as the batch
-SnapshotCatalog.
+batch_id < N, so a replay of a LIVE (not-yet-compacted) batch N sees
+exactly the pre-N state and reproduces its original outputs. Once
+compaction covers batch N the compacted snapshot no longer carries
+batch_id (and the merge fold rewrites labels), so a replay's READS see
+post-N state — the invariant actually relied on is weaker and write-side:
+the replay's writes land below the compaction watermark and are invisible
+to every reader, so state is unchanged regardless of what the replay
+computed. The stream checkpoint (processed-files log) provides the resume
+cursor, same story as the batch SnapshotCatalog.
 
 State compaction: the per-batch `batch_id=N` layout accumulates small files
 without bound. compact() rewrites each state table's full current view into
 `_compact/<table>/v{K}` (keeping the bucket partitioning, so partition
-pruning survives), atomically swaps a pointer file, and deletes the covered
-batch directories. Readers union the compacted view with live batches
-ABOVE the covered watermark — so a replay of an already-covered batch
-(recreating its directory) is invisible to every reader and replay
-idempotency is preserved across compaction.
+pruning survives; writes are parallel — BUCKETS tasks for partitioned
+tables, COMPACT_FILES for flat ones), atomically swaps a pointer file, and
+deletes the covered batch directories. Readers union the compacted view
+with live batches ABOVE the covered watermark — so a replay of an
+already-covered batch (recreating its directory) is invisible to every
+reader and replay idempotency is preserved across compaction.
+
+Merge-log folding (round-4): compaction is also the moment the stored
+vertex labels are rewritten to their RESOLVED roots (labels joined through
+the merge-log closure) and the covered merge edges dropped — the compacted
+comp_merges snapshot is empty. This is what keeps the merge log bounded by
+"merge events since the last compaction" instead of the stream's lifetime
+(at the 100 TB design point lifetime cross-batch merges are easily 10^8+,
+far past any broadcastable size) — the analog of the reference's
+persisted-graph refresh (ReliefFFeatureSelector.scala:262/336). Folding is
+idempotent: resolved roots are closure minima, so re-resolving an
+already-resolved label is the identity — a crash between the comp_vertices
+swap and the comp_merges swap leaves a state where components() simply
+re-applies the (now no-op) closure. The table order in STATE_TABLES
+(vertices before merges) is load-bearing for exactly that crash window.
 
 Known, documented divergence from batch mode under the skew cap: the cap
 applies to the bucket's ACCUMULATED size at each batch, so pairs emitted
@@ -98,6 +119,9 @@ from relieff_lsh_spark.operators.verify import verify_candidates
 
 BUCKETS = 64  # hash fanout of every bucketed state table; at real scale
 #               raise this (pruning granularity = state files read per batch)
+COMPACT_FILES = 4  # compacted file count for UNPARTITIONED state tables; at
+#               real scale derive from table bytes / target file size — the
+#               point is that compaction writes are parallel, never one task
 
 # state table -> (partition column or None). The partition column is kept
 # through compaction so file-level pruning works on both layouts.
@@ -225,9 +249,11 @@ class IncrementalDedup:
         )
         comps = (
             verts.select("clip_id", "label")
-            # the merge log holds one node per merge EVENT — small by
-            # construction, so the resolve join broadcasts
-            .join(F.broadcast(mapping), "label", "left")
+            # the merge log holds one node per merge EVENT since the last
+            # compaction (compact() folds it to empty) — small, but the
+            # strategy is AQE's call: a forced broadcast here would be a
+            # scale hazard if compaction lags (round-3 VERDICT #1)
+            .join(mapping, "label", "left")
             .select(
                 "clip_id", F.coalesce("root", "label").alias("component_id")
             )
@@ -416,11 +442,35 @@ class IncrementalDedup:
     # -- compaction --------------------------------------------------------
     def compact(self) -> dict:
         """Rewrite every state table's current view as one compacted
-        snapshot per table (bucket partitioning preserved), atomically swap
-        the pointer, and delete the covered batch_id directories. Replays of
-        covered batches stay invisible to readers (watermark filter), so
-        idempotency survives compaction."""
+        snapshot per table (bucket partitioning preserved, writes parallel),
+        atomically swap the pointer, and delete the covered batch_id
+        directories. Replays of covered batches stay invisible to readers
+        (watermark filter), so idempotency survives compaction.
+
+        Also FOLDS the merge log (module docstring): vertex labels are
+        rewritten to their closure-resolved roots and the covered merge
+        edges dropped, so components() never pays for merge history older
+        than the last compaction."""
         report: dict[str, dict] = {}
+        # Closure of the CURRENT merge log, computed before any table is
+        # rewritten (compaction runs between micro-batches, so both
+        # components tables are a consistent snapshot).
+        fold_mapping = None
+        merges = self._state("comp_merges")
+        if merges is not None and not merges.isEmpty():
+            labels = (
+                merges.select(F.col("u").alias("clip_id"))
+                .union(merges.select(F.col("v").alias("clip_id")))
+                .distinct()
+            )
+            res = connected_components(
+                merges.select(F.col("u").alias("a"), F.col("v").alias("b")),
+                labels,
+            )
+            fold_mapping = res.components.select(
+                F.col("clip_id").alias("label"),
+                F.col("component_id").alias("root"),
+            ).localCheckpoint()
         for table, part_col in STATE_TABLES.items():
             root = self._live_root(table)
             if not os.path.isdir(root):
@@ -435,6 +485,17 @@ class IncrementalDedup:
             df = self._state(table)
             if df is None:
                 continue
+            if fold_mapping is not None and table == "comp_vertices":
+                # fold: store resolved roots; idempotent (roots resolve to
+                # themselves), so re-compaction or a crash mid-swap is safe
+                df = df.join(fold_mapping, "label", "left").select(
+                    "clip_id",
+                    F.coalesce("root", "label").alias("label"),
+                    "vbucket",
+                )
+            elif fold_mapping is not None and table == "comp_merges":
+                # every covered merge edge is now folded into vertex labels
+                df = df.limit(0)
             ptr = self._pointer(table)
             covered = max(batch_ids + ([ptr["covered_through"]] if ptr else []))
             version = (ptr["version"] + 1) if ptr else 1
@@ -444,7 +505,16 @@ class IncrementalDedup:
                 len([f for f in fs if f.endswith(".parquet")])
                 for _, _, fs in os.walk(root)
             )
-            w = df.coalesce(1) if part_col is None else df.repartition(1, part_col)
+            # Parallel compaction writes (round-3 VERDICT #2: repartition(1)
+            # was a single-task serialization point at scale). Partitioned
+            # tables hash their BUCKETS partition values over BUCKETS tasks
+            # (still ~1 file per partition dir, so the small-file goal and
+            # pruning both survive); flat tables write COMPACT_FILES files.
+            w = (
+                df.repartition(COMPACT_FILES)
+                if part_col is None
+                else df.repartition(BUCKETS, part_col)
+            )
             writer = w.write.mode("overwrite")
             if part_col is not None:
                 writer = writer.partitionBy(part_col)

@@ -188,6 +188,20 @@ def test_incremental_components_equal_global_fixpoint(spark, cfg: DedupConfig,
     for s in inc.batch_stats[1:]:
         assert s["comp_buckets_pruned_to"] <= BUCKETS
 
+    # merge-log folding: the log only holds merges SINCE the last
+    # compaction, so components() cost is bounded by compaction cadence,
+    # not stream age. The last auto-compaction ran at batch 5 (every 3);
+    # only batch 5's own post-compact appends can remain.
+    last_compact = max(
+        s["batch_id"] for s in inc.batch_stats if "compacted" in s
+    )
+    live_merges = sum(
+        s["merge_edges_appended"]
+        for s in inc.batch_stats
+        if s["batch_id"] > last_compact
+    )
+    assert n_merges <= live_merges, (n_merges, live_merges)
+
 
 def test_compaction_preserves_state_and_reduces_files(spark, cfg: DedupConfig,
                                                       tiny_corpus_dir, tmp_path):
@@ -215,9 +229,18 @@ def test_compaction_preserves_state_and_reduces_files(spark, cfg: DedupConfig,
             for r in inc.components().components.collect()
         ),
     }
+    # the merge log is non-trivial before compaction (cross-batch merges)...
+    assert inc._state("comp_merges").count() > 0
     report = inc.compact()
     for table in ("signatures", "bands", "comp_vertices", "verified"):
         assert report[table]["files_after"] < report[table]["files_before"], report
+    # ...and FOLDED to empty by it: vertex labels now carry resolved roots,
+    # so components() pays nothing for pre-compaction merge history
+    folded = inc._state("comp_merges")
+    assert folded is None or folded.count() == 0
+    # parallel compaction writes: flat tables come out multi-file (the old
+    # coalesce(1) wrote exactly one), partitioned dirs keep ~1 file each
+    assert report["verified"]["files_after"] > 1, report
 
     after = {
         "sigs": inc.signatures().count(),
