@@ -69,9 +69,11 @@ def file_lineage(data_dir: str) -> list[dict]:
     import pyarrow.parquet as pq
 
     out = []
-    for i, name in enumerate(sorted(os.listdir(data_dir))):
-        if not name.endswith(".parquet"):
-            continue
+    # filter BEFORE enumerating: skipped entries (_SUCCESS, .crc) must not
+    # consume partition_id values — ids are 0-based and contiguous, matching
+    # partition_lineage's semantics
+    names = sorted(n for n in os.listdir(data_dir) if n.endswith(".parquet"))
+    for i, name in enumerate(names):
         md = pq.ParquetFile(os.path.join(data_dir, name)).metadata
         out.append({"partition_id": i, "rows": int(md.num_rows), "file": name})
     return out
