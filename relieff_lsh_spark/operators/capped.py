@@ -38,6 +38,22 @@ def capped_pairs(bands: DataFrame, keys: list[str], id_col: str, cap: int) -> Da
     )
 
 
+def capped_pairs_stats(bands: DataFrame, keys: list[str], cap: int) -> DataFrame:
+    """Lazy 1-row DataFrame (dropped_buckets, dropped_rows) counting the
+    buckets capped_pairs skips — the demo/ANN suites' analog of the corpus
+    path's counted drops (operators/candidates.py), so no cap in the repo is
+    silent. Lazy so query paths pay nothing unless a caller collects it."""
+    return (
+        bands.groupBy(*keys)
+        .agg(F.count("*").alias("bucket_n"))
+        .where(F.col("bucket_n") > cap)
+        .agg(
+            F.count("*").alias("dropped_buckets"),
+            F.coalesce(F.sum("bucket_n"), F.lit(0)).alias("dropped_rows"),
+        )
+    )
+
+
 def capped_pairs_sql(bands_cte: str, keys: list[str], id_col: str, cap: int) -> str:
     """DuckDB CTE body mirroring capped_pairs over a CTE named `bands_cte`
     with columns (id_col, *keys). Produces a relation (a, b)."""

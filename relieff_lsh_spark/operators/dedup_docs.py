@@ -42,17 +42,22 @@ MOD = 2147483647  # 2^31-1; (2^32)*(2*15+1) << 2^63, overflow-safe in both engin
 DOC_BUCKET_CAP = 64  # skew cap: buckets larger than this emit no pairs
 #                      (count-filtered join, SQL-mirrored; one degenerate
 #                      band over boilerplate docs is O(c^2) uncapped)
-PREFILTER_MIN_AGREE = 6  # MinHash-estimate prefilter (SQL-mirrored): a
+PREFILTER_MIN_AGREE = 5  # MinHash-estimate prefilter (SQL-mirrored): a
 #                      candidate pair joins its (unbounded-width) shingle
-#                      arrays for exact-Jaccard verification only if >= 6 of
+#                      arrays for exact-Jaccard verification only if >= 5 of
 #                      its 16 minhash lanes agree. The colliding band alone
-#                      guarantees 4; requiring 6 (est >= 0.375, i.e. the 0.5
-#                      threshold minus 0.125 slack) prunes most spurious
-#                      collisions while the probability of pruning a pair at
-#                      exact j = 0.5 is P(Binom(12, 0.5) <= 1) ~ 0.3% (and
-#                      decays geometrically above the threshold). The rule is
-#                      deterministic over the shared md5 minhash, so both
-#                      engines apply it identically.
+#                      guarantees 4, so 5 is the cheapest non-trivial screen:
+#                      one additional agreeing lane among the 12 free ones.
+#                      RECALL BOUND (this prefilter makes q_jaccard_verify an
+#                      approximation of "exact jaccard over all candidates"):
+#                      a true pair at exact j = 0.5 is wrongly pruned with
+#                      probability P(Binom(12, 0.5) = 0) = 2^-12 ~ 2.4e-4,
+#                      decaying geometrically above the threshold (round-3
+#                      ADVICE: the earlier >= 6 rule missed with ~3e-3). The
+#                      rule is deterministic over the shared md5 minhash, so
+#                      both engines apply it identically and cross-engine
+#                      equality is unaffected; only a brute-force oracle over
+#                      the raw candidate set would diverge, at the rate above.
 
 
 def tokens(col="text"):
@@ -321,7 +326,15 @@ def _prefiltered(cand: DataFrame, sig: DataFrame) -> DataFrame:
 def q_jaccard_verify(docs: DataFrame) -> DataFrame:
     """Exact-Jaccard verification of the LSH candidates (threshold 0.5),
     behind the MinHash-estimate prefilter — shingle arrays are only shuffled
-    for pairs the fixed-width estimate cannot rule out."""
+    for pairs the fixed-width estimate cannot rule out.
+
+    Recall bound consumers should know: the prefilter makes this an
+    approximation of "exact Jaccard over every LSH candidate" — a true pair
+    at exactly j = 0.5 is pruned with probability 2^-12 ~ 2.4e-4 (the
+    PREFILTER_MIN_AGREE derivation), decaying geometrically above the
+    threshold. Deterministic and SQL-mirrored, so cross-engine equality is
+    exact; only a brute-force oracle over the raw candidate set would see
+    the difference."""
     sig = signature_df(augmented_docs(docs)).localCheckpoint()
     cand = _prefiltered(_candidates_from(sig), sig)
     sh = sig.select("doc_id", "sh")

@@ -65,39 +65,86 @@ def test_ann_topk_pairs_are_true_cosines(spark):
 
 def test_ivf_hot_cell_is_capped(spark):
     """A degenerate cell (every vector identical -> identical probe cells)
-    must NOT emit O(c^2) pairs: the count-filtered cap drops the bucket."""
+    must NOT emit O(c^2) pairs: the count-filtered cap drops the bucket —
+    and the drops are COUNTABLE via capped_pairs_stats (round-3 VERDICT:
+    the demo/ANN cap may not be silent)."""
+    from relieff_lsh_spark.operators.capped import capped_pairs_stats
+
     n = 3 * knn.IVF_CELL_CAP  # well past the cap
     rows = [(i, [1.0] + [0.0] * (knn.ANN_DIM - 1), 0) for i in range(n)]
     emb = spark.createDataFrame(rows, "vec_id int, embedding array<float>, label int")
     out = knn.q_ivf_ann_pairs(emb)
     assert out.count() == 0  # bucket over cap -> no pairs from it
 
+    groups, dirs = knn.ivf_geometry(n)
+    probes = min(knn.IVF_PROBES, dirs)
+    asg = knn._ivf_assignments(emb, groups, dirs)
+    stats = capped_pairs_stats(
+        asg, [f"c{g}" for g in range(groups)], knn.IVF_CELL_CAP
+    ).collect()[0]
+    # identical vectors -> identical probe sets -> probes^groups hot cells,
+    # each holding every vector
+    assert stats["dropped_buckets"] == probes**groups
+    assert stats["dropped_rows"] == n * probes**groups
+
 
 def test_ivf_multiprobe_assignments_shape(spark):
-    """Every vector probes exactly IVF_PROBES^IVF_GROUPS composite cells,
-    with per-group direction codes in [1, IVF_DIRS]."""
+    """Every vector probes exactly IVF_PROBES^groups composite cells, with
+    per-group direction codes in [1, dirs]."""
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(50)
-    asg = knn._ivf_assignments(emb)
+    groups, dirs = 2, 8
+    asg = knn._ivf_assignments(emb, groups, dirs)
     from pyspark.sql import functions as F
 
     per_vec = asg.groupBy("vec_id").count().select("count").distinct().collect()
-    assert [r["count"] for r in per_vec] == [knn.IVF_PROBES ** knn.IVF_GROUPS]
+    assert [r["count"] for r in per_vec] == [knn.IVF_PROBES ** groups]
     bounds = asg.agg(
         F.min("c0"), F.max("c0"), F.min("c1"), F.max("c1")
     ).collect()[0]
-    assert bounds[0] >= 1 and bounds[1] <= knn.IVF_DIRS
-    assert bounds[2] >= 1 and bounds[3] <= knn.IVF_DIRS
+    assert bounds[0] >= 1 and bounds[1] <= dirs
+    assert bounds[2] >= 1 and bounds[3] <= dirs
+
+
+def test_ivf_geometry_scales_with_n(spark):
+    """ivf_geometry derives the cell structure from the corpus size (bigger
+    corpus -> more cells), and q_ivf_ann_pairs matches its generated DuckDB
+    oracle at two different table sizes with DIFFERENT derived geometry."""
+    import duckdb
+
+    g_small = knn.ivf_geometry(200)
+    g_large = knn.ivf_geometry(2000)
+    assert g_small != g_large
+    cells = lambda g: g[1] ** g[0]
+    assert cells(g_large) > cells(g_small)
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        n = emb.count()
+        got = {tuple(r) for r in knn.q_ivf_ann_pairs(emb, n_vectors=n).collect()}
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf}/embeddings.parquet')"
+        )
+        want = {tuple(r) for r in con.execute(knn.ivf_sql(n)).fetchall()}
+        con.close()
+        assert got == want, (sf, len(got), len(want))
 
 
 def test_embedding_neardup_hot_label_is_capped(spark):
     """One hot label past EMB_LABEL_CAP contributes no pairs; small labels
-    are unaffected (same policy as the corpus bucket cap)."""
+    are unaffected (same policy as the corpus bucket cap). The dropped label
+    is countable via capped_pairs_stats — not silent."""
+    from relieff_lsh_spark.operators.capped import capped_pairs_stats
+
     hot_n = knn.EMB_LABEL_CAP + 10
     rows = [(i, [1.0] * 4, 99) for i in range(hot_n)]
     rows += [(1000, [1.0] * 4, 1), (1001, [1.0] * 4, 1)]
     emb = spark.createDataFrame(rows, "vec_id int, embedding array<float>, label int")
     got = {(r.a, r.b) for r in knn.q_embedding_neardup(emb).collect()}
     assert got == {(1000, 1001)}
+    stats = capped_pairs_stats(emb, ["label"], knn.EMB_LABEL_CAP).collect()[0]
+    assert stats["dropped_buckets"] == 1
+    assert stats["dropped_rows"] == hot_n
 
 
 def test_ivf_multiprobe_recall_vs_brute(spark):
