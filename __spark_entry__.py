@@ -33,6 +33,17 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _oracle_emb_rows(sf_dir: str = "/root/testdata/sf0.01") -> int:
+    """Row count of the oracle SF's embeddings table, read from the parquet
+    footer on the driver (no Spark job) — the n that ivf_geometry(n) derives
+    the IVF cell structure from. The driver compares Spark vs DuckDB at
+    sf0.01, and q_ivf_ann_pairs counts its actual input, so both engines see
+    the same n and hence the same generated geometry."""
+    import pyarrow.parquet as pq
+
+    return int(pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows)
+
+
 def _libsvm(spark: SparkSession) -> DataFrame:
     from relieff_lsh_spark.sources.libsvm import q_libsvm_scan
 
@@ -145,7 +156,10 @@ def oracle_sql() -> dict[str, str]:
         # exact: fixed-point quantized embeddings x literal {+/-1} planes ->
         # integer dot products, bit-identical across engines
         "q_simhash_ann_candidates": knn.SQL_SIMHASH_ANN_CANDIDATES,
-        "q_ivf_ann_pairs": knn.SQL_IVF_ANN_PAIRS,
+        # generated for the oracle SF's table size: ivf_geometry(n) derives
+        # the cell structure from n (round-4), and the SQL twin is built
+        # from the same derived constants so both engines share the geometry
+        "q_ivf_ann_pairs": knn.ivf_sql(_oracle_emb_rows()),
         "q_ann_topk": knn.SQL_ANN_TOPK,
         "q_libsvm_scan": _LIBSVM_SQL,
         # q_audio_dedup_components: binary audio + iterative fixpoint -> not

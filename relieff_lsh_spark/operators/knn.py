@@ -230,43 +230,67 @@ SELECT query_id, rank, neighbor_id, cos_sim FROM ranked WHERE rank <= {TOP_K}
 """
 
 IVF_MIN_COS = 0.30
-IVF_GROUPS = 2    # independent direction groups; cell space = IVF_DIRS^IVF_GROUPS
-IVF_DIRS = 16     # directions per group -> 256 cells (own plane pool, wider
-#                   than the ANN banding's 16: cell count is the knob that
-#                   must GROW with n so expected cell size stays bounded —
-#                   fixed here because the DuckDB oracle is a static SQL
-#                   string; production derives IVF_GROUPS/IVF_DIRS from the
-#                   corpus size the same way cfg.bands is configuration)
-IVF_PLANES = IVF_GROUPS * IVF_DIRS
 IVF_PROBES = 3    # multi-probe: each vector is assigned to its top-P
 #                   directions per group (P^G composite probes), so boundary
 #                   pairs still co-probe
 IVF_CELL_CAP = 64  # in-cell skew cap (count-filtered, SQL-replayable)
+IVF_MAX_DIRS = 16  # per-group direction ceiling (argmax over more literal
+#                   directions degrades code balance on this toy plane family)
+IVF_MAX_GROUPS = 3  # probe multiplicity is IVF_PROBES^groups, so groups is
+#                   clamped; past ~5k vectors the clamped geometry over-fills
+#                   cells and the cap starts dropping (counted, never silent)
+#                   — production trains a real coarse quantizer there
+IVF_TARGET_FILL = IVF_CELL_CAP // 8  # expected rows per cell (incl. probe
+#                   duplicates) the geometry aims for: 8x headroom under the
+#                   cap absorbs data clustering (measured: a 64-cell space at
+#                   sf0.001 had 41 cells OVER cap from label clustering)
 _DOT_MASK_MIN = -(1 << 62)  # below any reachable quantized dot product
 
 
-def q_ivf_ann_pairs(emb: DataFrame) -> DataFrame:
-    """IVF-shaped ANN with a scalable cell structure: the coarse quantizer
-    is the PRODUCT of IVF_GROUPS independent argmax codes (one per group of
-    IVF_DIRS literal directions), so the cell count is IVF_DIRS^IVF_GROUPS
-    and expected cell size is n / DIRS^GROUPS — add a group (or widen DIRS)
-    as n grows, instead of the round-2 design's FIXED 16 cells whose in-cell
-    all-pairs verify was Θ(n²/16). Two further scale guards:
+def ivf_geometry(n_vectors: int) -> tuple[int, int]:
+    """(groups, dirs) for a corpus of n_vectors: the smallest product
+    quantizer whose cell count dirs^groups keeps the EXPECTED cell fill
+    (n * IVF_PROBES^groups rows spread over the cells — multi-probe
+    multiplies row mass) at or under IVF_TARGET_FILL. This is the round-3
+    "production derives the geometry from n" note made real: the cell count
+    GROWS with n, so in-cell verify work stays bounded per cell instead of
+    reverting to Θ(n²/cells) with a fixed cell space."""
+    import math
+
+    for groups in range(1, IVF_MAX_GROUPS + 1):
+        needed = max(2, math.ceil(n_vectors * IVF_PROBES**groups / IVF_TARGET_FILL))
+        dirs = math.ceil(needed ** (1.0 / groups))
+        if dirs <= IVF_MAX_DIRS:
+            return groups, max(dirs, IVF_PROBES)
+    return IVF_MAX_GROUPS, IVF_MAX_DIRS
+
+
+def q_ivf_ann_pairs(emb: DataFrame, n_vectors: int | None = None) -> DataFrame:
+    """IVF-shaped ANN with a corpus-size-derived cell structure: the coarse
+    quantizer is the PRODUCT of `groups` independent argmax codes (one per
+    group of `dirs` literal directions), geometry from ivf_geometry(n) —
+    pass n_vectors to skip the count job when the caller already knows it.
+    Scale guards:
 
       * multi-probe: every vector is assigned to its top-IVF_PROBES
         directions per group (P^G composite probes), closing the
         single-probe boundary-miss caveat;
       * the in-cell join runs through the count-filtered bucket cap
         (operators/capped.py), so one degenerate cell cannot emit O(c²)
-        pairs (tests/test_ann.py pins this with a planted hot cell).
+        pairs (tests/test_ann.py pins this with a planted hot cell), and
+        drops are countable via capped_pairs_stats — never silent.
 
     All arithmetic is exact integers (quantized embeddings x {+1,-1} literal
     directions), ties broken by direction index — deterministic
-    cross-engine, which is what makes the DuckDB oracle exact."""
+    cross-engine; ivf_sql(n) generates the value-identical DuckDB oracle
+    for the same geometry."""
     from relieff_lsh_spark.operators.capped import capped_pairs
 
-    asg = _ivf_assignments(emb)
-    pairs = capped_pairs(asg, ["c0", "c1"], "vec_id", IVF_CELL_CAP)
+    n = n_vectors if n_vectors is not None else emb.count()
+    groups, dirs = ivf_geometry(n)
+    asg = _ivf_assignments(emb, groups, dirs)
+    keys = [f"c{g}" for g in range(groups)]
+    pairs = capped_pairs(asg, keys, "vec_id", IVF_CELL_CAP)
     v = emb.select("vec_id", _dbl("embedding").alias("v"))
     return (
         pairs.join(v.select(F.col("vec_id").alias("a"), F.col("v").alias("va")), "a")
@@ -277,14 +301,15 @@ def q_ivf_ann_pairs(emb: DataFrame) -> DataFrame:
     )
 
 
-def _ivf_assignments(emb: DataFrame) -> DataFrame:
-    """(vec_id, c0, c1): one row per composite probe cell — the cross
-    product of each group's top-IVF_PROBES directions (1-based within the
-    group). Narrow (per-row HOF arithmetic, no shuffle); the checkpoint is
-    the usual CollapseProject barrier so the 16 integer dots are computed
+def _ivf_assignments(emb: DataFrame, groups: int, dirs: int) -> DataFrame:
+    """(vec_id, c0..c{groups-1}): one row per composite probe cell — the
+    cross product of each group's top-IVF_PROBES directions (1-based within
+    the group). Narrow (per-row HOF arithmetic, no shuffle); the checkpoint
+    is the usual CollapseProject barrier so the integer dots are computed
     once per row, not once per downstream reference."""
+    n_planes = groups * dirs
     planes_lit = F.array(*[
-        F.array(*[F.lit(v) for v in row]) for row in ann_hyperplanes(IVF_PLANES)
+        F.array(*[F.lit(v) for v in row]) for row in ann_hyperplanes(n_planes)
     ])
     vq = F.transform(
         F.col("embedding"),
@@ -316,33 +341,52 @@ def _ivf_assignments(emb: DataFrame) -> DataFrame:
         lower index: repeatedly take the first occurrence of the max and
         mask it out — exactly row_number() OVER (ORDER BY dot DESC, idx ASC)
         <= P, the oracle's formulation."""
-        gd = F.slice(F.col("dots"), g * IVF_DIRS + 1, IVF_DIRS)
+        gd = F.slice(F.col("dots"), g * dirs + 1, dirs)
         picks = []
-        for _ in range(IVF_PROBES):
+        for _ in range(min(IVF_PROBES, dirs)):
             pos = F.array_position(gd, F.array_max(gd))
             picks.append(pos.cast("int"))
             gd = mask_at(gd, pos)
         return F.array(*picks)
 
-    return (
-        staged.select("vec_id", probe_dirs(0).alias("p0"), probe_dirs(1).alias("p1"))
-        .select("vec_id", F.explode("p0").alias("c0"), "p1")
-        .select("vec_id", "c0", F.explode("p1").alias("c1"))
+    out = staged.select(
+        "vec_id", *[probe_dirs(g).alias(f"p{g}") for g in range(groups)]
     )
+    done: list[str] = ["vec_id"]
+    for g in range(groups):
+        out = out.select(
+            *done,
+            F.explode(f"p{g}").alias(f"c{g}"),
+            *[f"p{h}" for h in range(g + 1, groups)],
+        )
+        done.append(f"c{g}")
+    return out
 
 
-def _ivf_sql() -> str:
+def ivf_sql(n_vectors: int) -> str:
+    """DuckDB oracle for q_ivf_ann_pairs over a table of n_vectors rows —
+    generated from the SAME ivf_geometry(n), so the two engines always agree
+    on the cell structure (the round-3 'static SQL string' constraint was
+    never real: the SQL was already built in Python)."""
     from relieff_lsh_spark.operators.capped import capped_pairs_sql
 
-    planes = ann_hyperplanes(IVF_PLANES)
+    groups, dirs = ivf_geometry(n_vectors)
+    n_planes = groups * dirs
+    planes = ann_hyperplanes(n_planes)
     rows = ",\n    ".join(
         f"({p}, [{', '.join(str(w) for w in planes[p])}])"
-        for p in range(IVF_PLANES)
+        for p in range(n_planes)
     )
     cos = (
         "round(list_dot_product(ea.v, eb.v)"
         " / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6)"
     )
+    cells = ", ".join(f"p{g}.c AS c{g}" for g in range(groups))
+    probe_joins = "\n  ".join(
+        f"JOIN probes p{g} ON p{g}.vec_id = p0.vec_id AND p{g}.grp = {g}"
+        for g in range(1, groups)
+    )
+    keys = [f"c{g}" for g in range(groups)]
     return f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -355,26 +399,24 @@ dots AS (
   SELECT e.vec_id, pl.p, list_dot_product(e.vq, pl.w) AS dot
   FROM e CROSS JOIN planes pl),
 ranked AS (
-  SELECT vec_id, p // {IVF_DIRS} AS grp, p % {IVF_DIRS} AS dir, dot,
-         row_number() OVER (PARTITION BY vec_id, p // {IVF_DIRS}
+  SELECT vec_id, p // {dirs} AS grp, p % {dirs} AS dir, dot,
+         row_number() OVER (PARTITION BY vec_id, p // {dirs}
                             ORDER BY dot DESC, p ASC) AS rk
   FROM dots),
 probes AS (SELECT vec_id, grp, CAST(dir + 1 AS INT) AS c
-           FROM ranked WHERE rk <= {IVF_PROBES}),
+           FROM ranked WHERE rk <= {min(IVF_PROBES, dirs)}),
 asg AS (
-  SELECT p0.vec_id, p0.c AS c0, p1.c AS c1
-  FROM probes p0 JOIN probes p1 ON p1.vec_id = p0.vec_id
-  WHERE p0.grp = 0 AND p1.grp = 1),
-{capped_pairs_sql('asg', ['c0', 'c1'], 'vec_id', IVF_CELL_CAP)}
+  SELECT p0.vec_id, {cells}
+  FROM probes p0
+  {probe_joins}
+  WHERE p0.grp = 0),
+{capped_pairs_sql('asg', keys, 'vec_id', IVF_CELL_CAP)}
 SELECT c.a, c.b, {cos} AS cos_sim
 FROM capped_cand c
 JOIN e ea ON ea.vec_id = c.a
 JOIN e eb ON eb.vec_id = c.b
 WHERE {cos} >= {IVF_MIN_COS}
 """
-
-
-SQL_IVF_ANN_PAIRS = _ivf_sql()
 
 
 def _ann_sql() -> str:
