@@ -57,7 +57,7 @@ def clip_signatures(
         minimizer_keys_from(F.col("pos_sub"), cfg.substr_window).alias("substr_keys"),
     )
     df = df.withColumn("minhash", minhash_udf("shingles"))
-    return df.select(
+    cols = [
         "clip_id",
         "transcript",
         "codec",
@@ -67,14 +67,14 @@ def clip_signatures(
         #             dedups via exact/text/substr channels
         "minhash",
         band_hashes_expr(F.col("minhash"), cfg).alias("text_bands"),
-        # fixed-width rotated-band hashes ((bands-1) x 8 B) when the refine
-        # pass is on, so tier-1 verify can credit rotated collisions without
-        # shipping the 1 KB minhash; empty array when off (uniform schema,
-        # concat with [] is the identity)
-        (
-            rotated_band_hashes_expr(F.col("minhash"), cfg)
-            if cfg.refine_bands
-            else F.array().cast("array<bigint>")
-        ).alias("text_bands_rot"),
         F.size("shingles").alias("n_shingles"),
-    )
+    ]
+    if cfg.refine_bands:
+        # fixed-width rotated-band hashes ((bands-1) x 8 B): banding
+        # explodes them and tier-1 verify credits them in the agreement
+        # count, without shipping the 1 KB minhash. Only emitted when the
+        # refine pass is on — downstream consumers key off the column's
+        # presence, so a placeholder would shadow their inline computation.
+        cols.insert(-1, rotated_band_hashes_expr(F.col("minhash"), cfg)
+                    .alias("text_bands_rot"))
+    return df.select(*cols)
