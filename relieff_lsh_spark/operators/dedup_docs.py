@@ -168,6 +168,38 @@ def _candidates_from(sig: DataFrame) -> DataFrame:
     )
 
 
+ROT_OFF = ROWS // 2  # rotated-banding offset (the corpus refine pass's
+#                      half-band boundary shift, operators/banding.py)
+
+
+def _refined_bands_long(sig: DataFrame) -> DataFrame:
+    """Primary bands ∪ (BANDS-1) half-band-ROTATED bands — the corpus refine
+    pass (operators/banding.py; reference refineGroupedGraph,
+    ReliefFFeatureSelector.scala:181-187) in SQL-replayable md5 form.
+    Rotated band b hashes mh rows [b*ROWS + ROT_OFF, b*ROWS + ROT_OFF +
+    ROWS); band_id offset by BANDS keeps the bucket keyspace disjoint."""
+    rot = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(BANDS - 2)),
+                lambda b: F.md5(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(F.col("mh"), b * ROWS + ROT_OFF + 1, F.lit(ROWS)),
+                            lambda v: v.cast("string"),
+                        ),
+                    )
+                ),
+            )
+        ).alias("rot_id", "band_hash"),
+    ).select(
+        "doc_id", (F.col("rot_id") + BANDS).alias("band_id"), "band_hash"
+    )
+    return _bands_long(sig).unionByName(rot)
+
+
 SIM_BITS = 64
 SIM_BANDS = 4
 SIM_BAND_BITS = SIM_BITS // SIM_BANDS  # 16-bit chunks: 65536 buckets/band
@@ -306,6 +338,19 @@ def q_lsh_candidates(docs: DataFrame) -> DataFrame:
     state — candidates need only the band relation."""
     sig = signature_df(augmented_docs(docs), keep_shingles=False).localCheckpoint()
     return _candidates_from(sig)
+
+
+def q_lsh_candidates_refined(docs: DataFrame) -> DataFrame:
+    """Candidate pairs with the refine pass ON (SURVEY.md §2.7 L4 at the
+    driver-oracle level — the round-3 VERDICT's 'stronger artifact'):
+    primary + rotated bands through the same capped self-join. A superset of
+    q_lsh_candidates by construction (extra OR-bands only add collisions);
+    the rotated bands catch near-threshold pairs whose agreeing minhash
+    rows straddle a primary band cut."""
+    sig = signature_df(augmented_docs(docs), keep_shingles=False).localCheckpoint()
+    return capped_pairs(
+        _refined_bands_long(sig), ["band_id", "band_hash"], "doc_id", DOC_BUCKET_CAP
+    )
 
 
 def _prefiltered(cand: DataFrame, sig: DataFrame) -> DataFrame:
@@ -513,6 +558,28 @@ WITH {_AUG},
 {_MH_FROM_SH},
 {_CAND}
 SELECT a, b FROM cand
+"""
+
+# rotated second banding (exact mirror of _refined_bands_long): band b
+# groups perm_ids [ROT_OFF + b*ROWS, ROT_OFF + (b+1)*ROWS), b in [0, BANDS-1)
+_ROT_BANDS = f"""
+  rot_bands AS (
+    SELECT doc_id, {BANDS} + (perm_id - {ROT_OFF}) // {ROWS} AS band_id,
+           md5(string_agg(minhash::varchar, ',' ORDER BY perm_id)) AS band_hash
+    FROM mh
+    WHERE perm_id >= {ROT_OFF} AND perm_id < {ROT_OFF + (BANDS - 1) * ROWS}
+    GROUP BY doc_id, (perm_id - {ROT_OFF}) // {ROWS}),
+  all_bands AS (
+    SELECT * FROM bands UNION ALL SELECT * FROM rot_bands)
+"""
+
+SQL_LSH_CANDIDATES_REFINED = f"""
+WITH {_AUG},
+{_sh_cte('aug')},
+{_MH_FROM_SH},
+{_ROT_BANDS},
+{capped_pairs_sql("all_bands", ["band_id", "band_hash"], "doc_id", DOC_BUCKET_CAP)}
+SELECT a, b FROM capped_cand
 """
 
 SQL_JACCARD_VERIFY = f"""

@@ -121,6 +121,19 @@ def test_verify_keeps_rotated_only_collision(spark):
     assert verify_candidates(cand, sigs.drop("text_bands_rot"), cfg).collect() == []
 
 
+def test_doc_suite_refined_candidates_superset(spark):
+    """q_lsh_candidates_refined (the refine pass's driver-oracle query) is a
+    superset of the base candidates: rotated bands have a disjoint band_id
+    keyspace, so primary buckets — and their cap decisions — are untouched,
+    and extra OR-bands can only add pairs."""
+    from relieff_lsh_spark.operators import dedup_docs as dd
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = {(r["a"], r["b"]) for r in dd.q_lsh_candidates(docs).collect()}
+    refined = {(r["a"], r["b"]) for r in dd.q_lsh_candidates_refined(docs).collect()}
+    assert base <= refined
+
+
 def test_pipeline_e2e_with_refine_bands(spark, small_corpus_dir):
     """Driver-level evidence: the refine pass runs through the real pipeline
     and recall vs the brute oracle is >= the base config's (and >= 0.99)."""
