@@ -34,6 +34,8 @@ AUDIO_N = int(os.environ.get("BENCH_AUDIO_N", "4000"))
 
 HEADLINE = [
     "q_lsh_candidates",
+    "q_lsh_candidates_refined",  # round-4 (new query: totals are not
+    #                              comparable to BENCH_r03 and earlier)
     "q_jaccard_verify",
     "q_text_components",
     "q_minhash_sigs",
@@ -45,6 +47,7 @@ HEADLINE = [
     "q_knn_bruteforce",
     "q_embedding_neardup",
     "q_simhash_ann_candidates",
+    "q_ivf_ann_pairs",  # round-4 (new query; geometry derives from n)
     "q_topk_per_group",
     "q_broadcast_dim_join",
     "q_range_normalize",

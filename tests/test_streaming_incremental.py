@@ -169,15 +169,18 @@ def test_incremental_components_equal_global_fixpoint(spark, cfg: DedupConfig,
     inc.run_available_now(in_dir, max_files_per_trigger=1)
     assert any("compacted" in s for s in inc.batch_stats)
 
+    res = inc.components()
     fast = {
-        (r["clip_id"], r["component_id"])
-        for r in inc.components().components.collect()
+        (r["clip_id"], r["component_id"]) for r in res.components.collect()
     }
     full = {
         (r["clip_id"], r["component_id"])
         for r in inc.components_full_recompute().components.collect()
     }
     assert fast == full and len(fast) == 300
+    # the last batch (5) auto-compacted, folding the merge log — so the
+    # closure fixpoint has NOTHING to do: components() is a pure label read
+    assert res.iterations == 0
 
     # work bounds: merge log << edge history; lookups pruned below fanout
     from relieff_lsh_spark.streaming.incremental import BUCKETS
