@@ -33,22 +33,59 @@ SIGNATURE_SCHEMA = T.StructType([
 ])
 
 
-def _decode_wav_pcm_s16le(buf: bytes) -> tuple[np.ndarray, int]:
-    """pcm_s16le in a RIFF/WAVE container, exactly (44-byte header)."""
+def _wav_header(buf: bytes) -> tuple[int, int]:
+    """(sample_rate, data_bytes) from a canonical 44-byte RIFF/WAVE header."""
     sr_hz = struct.unpack_from("<I", buf, 24)[0]
     n_bytes = struct.unpack_from("<I", buf, 40)[0]
+    return int(sr_hz), int(n_bytes)
+
+
+def _decode_wav_pcm_s16le(buf: bytes) -> tuple[np.ndarray, int]:
+    """pcm_s16le in a RIFF/WAVE container, exactly (44-byte header)."""
+    sr_hz, n_bytes = _wav_header(buf)
     pcm = np.frombuffer(buf, dtype=np.int16, count=n_bytes // 2, offset=44)
-    return pcm.astype(np.float32) / 32768.0, int(sr_hz)
+    return pcm.astype(np.float32) / 32768.0, sr_hz
 
 
-# codec -> decoder(bytes) -> (float32 PCM in [-1,1], sample rate). Compressed
-# codecs (opus/mp3/flac/...) need external libraries (ffmpeg/soundfile) not
-# present in this container; registering a decoder here — or passing an
-# override dict through audio_signatures/clip_signatures/DedupPipeline — is
-# the full integration surface (the dispatch, quarantine-exit, and signature
-# paths are covered with an injected mock decoder in
-# tests/test_audio_channel.py).
-DECODERS: dict = {"pcm_s16le": _decode_wav_pcm_s16le}
+def _decode_wav_pcm_u8(buf: bytes) -> tuple[np.ndarray, int]:
+    """pcm_u8: 8-bit unsigned (bias 128), exact."""
+    sr_hz, n_bytes = _wav_header(buf)
+    pcm = np.frombuffer(buf, dtype=np.uint8, count=n_bytes, offset=44)
+    return (pcm.astype(np.float32) - 128.0) / 128.0, sr_hz
+
+
+def _decode_wav_pcm_s24le(buf: bytes) -> tuple[np.ndarray, int]:
+    """pcm_s24le: packed 3-byte little-endian signed samples, exact
+    (vectorized byte recombination — no per-sample python)."""
+    sr_hz, n_bytes = _wav_header(buf)
+    raw = np.frombuffer(buf, dtype=np.uint8, count=(n_bytes // 3) * 3, offset=44)
+    b = raw.reshape(-1, 3).astype(np.int32)
+    val = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+    val = np.where(val >= 1 << 23, val - (1 << 24), val)
+    return val.astype(np.float32) / float(1 << 23), sr_hz
+
+
+def _decode_wav_pcm_f32le(buf: bytes) -> tuple[np.ndarray, int]:
+    """pcm_f32le: IEEE float32 samples, bit-exact passthrough."""
+    sr_hz, n_bytes = _wav_header(buf)
+    pcm = np.frombuffer(buf, dtype="<f4", count=n_bytes // 4, offset=44)
+    return pcm.astype(np.float32), sr_hz
+
+
+# codec -> decoder(bytes) -> (float32 PCM in [-1,1], sample rate). Every
+# UNCOMPRESSED WAV codec decodes natively (numpy only — no external libs);
+# compressed codecs (opus/mp3/flac/...) need external libraries
+# (ffmpeg/soundfile) not present in this container; registering a decoder
+# here — or passing an override dict through audio_signatures/
+# clip_signatures/DedupPipeline — is the full integration surface (the
+# dispatch, quarantine-exit, and signature paths are covered with an
+# injected mock decoder in tests/test_audio_channel.py).
+DECODERS: dict = {
+    "pcm_s16le": _decode_wav_pcm_s16le,
+    "pcm_u8": _decode_wav_pcm_u8,
+    "pcm_s24le": _decode_wav_pcm_s24le,
+    "pcm_f32le": _decode_wav_pcm_f32le,
+}
 
 
 def decode_pcm(

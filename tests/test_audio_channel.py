@@ -44,6 +44,65 @@ def test_decode_unknown_codec_stub():
         decode_pcm(b"\x00" * 64, "opus")
 
 
+def _wav_bytes_codec(pcm16: np.ndarray, sr: int, codec: str) -> bytes:
+    """Re-encode int16 PCM into another uncompressed WAV codec's container
+    (canonical 44-byte header; bits-per-sample field set accordingly)."""
+    import struct
+
+    x = pcm16.astype(np.float32) / 32768.0
+    if codec == "pcm_u8":
+        data = (np.round(x * 128.0) + 128).clip(0, 255).astype(np.uint8).tobytes()
+        bps = 8
+    elif codec == "pcm_s24le":
+        v = np.round(x * float(1 << 23)).astype(np.int64).clip(-(1 << 23), (1 << 23) - 1)
+        v = np.where(v < 0, v + (1 << 24), v).astype(np.uint32)
+        b = np.zeros((len(v), 3), dtype=np.uint8)
+        b[:, 0] = v & 0xFF
+        b[:, 1] = (v >> 8) & 0xFF
+        b[:, 2] = (v >> 16) & 0xFF
+        data = b.tobytes()
+        bps = 24
+    elif codec == "pcm_f32le":
+        data = x.astype("<f4").tobytes()
+        bps = 32
+    else:
+        raise ValueError(codec)
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE", b"fmt ", 16,
+        1, 1, sr, sr * bps // 8, bps // 8, bps, b"data", len(data),
+    )
+    return hdr + data
+
+
+def test_decode_all_uncompressed_pcm_codecs(cfg):
+    """Every uncompressed PCM variant decodes natively (numpy only): decoded
+    audio matches the s16 reference at SNR >= 30 dB (f32 is bit-exact), and
+    the resulting SimHash is within hamming_max of the s16 clip's — the
+    per-row invariant across container codecs of the SAME recording."""
+    from relieff_lsh_spark.sources.corpus import decode_wav
+
+    buf16 = _clip([440.0, 880.0, 1760.0])
+    ref, sr = decode_wav(buf16)
+    pcm16 = (ref * 32768.0).astype(np.int16)
+    planes = simhash_planes(cfg)
+    h_ref = simhash64(spectral_fingerprint(ref, sr, cfg), planes)
+    for codec in ("pcm_u8", "pcm_s24le", "pcm_f32le"):
+        buf = _wav_bytes_codec(pcm16, sr, codec)
+        x, sr2 = decode_pcm(buf, codec)
+        assert sr2 == sr and len(x) == len(ref)
+        err = x - ref
+        if codec == "pcm_f32le":
+            assert np.array_equal(x, ref)  # bit-exact passthrough
+        else:
+            snr = 10 * np.log10(
+                float(np.sum(ref**2)) / max(float(np.sum(err**2)), 1e-20)
+            )
+            assert snr >= 30.0, (codec, snr)
+        h = simhash64(spectral_fingerprint(x, sr2, cfg), planes)
+        assert _ham(h, h_ref) <= cfg.hamming_max, codec
+
+
 def test_fingerprint_noise_robust(cfg):
     """audio_near contract: same signal + SNR-35dB noise -> hamming <= 3."""
     planes = simhash_planes(cfg)
