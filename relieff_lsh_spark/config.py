@@ -65,7 +65,13 @@ class DedupConfig:
     # full minhash signature (128 x 8 B) as the tier-1 payload — measured
     # 2.3x verify-stage wall vs the band columns on the n=640k bench, since
     # 1 KB/side exceeds typical shingle arrays; the band count is both
-    # smaller (256 B) and a TIGHTER screen.
+    # smaller (256 B) and a TIGHTER screen. With refine_bands on, the
+    # agreement also counts the (bands - 1) rotated band hashes — a pair
+    # whose ONLY collision is a rotated band starts from 1 agreement like
+    # any primary candidate instead of being pruned outright (round-3
+    # ADVICE); the screen is marginally looser over 63 bands than 32
+    # (spurious pass p: 1-(1-p_b)^62 given one collision), which only costs
+    # a few extra tier-2 rows — recall is what the refine pass buys.
     verify_prefilter_min_bands: int = 2
 
     # --- skew / work budget (maxComparisons analog, reference R:159,173) ---
