@@ -134,6 +134,45 @@ def test_short_clip_padded(cfg):
     assert np.all(np.isfinite(fp))
 
 
+def test_cross_codec_duplicates_cluster_via_audio_channel(spark, cfg, tmp_path):
+    """The same recording shipped as pcm_s16le and pcm_f32le (different
+    bytes, different transcripts — so neither the exact nor the text channel
+    can link them) must still land in one component: the audio channel's
+    codec-invariant SimHash is what carries cross-codec duplicates."""
+    import pandas as pd
+
+    from relieff_lsh_spark.plans.dedup_pipeline import DedupPipeline
+    from relieff_lsh_spark.sources.corpus import decode_wav
+
+    buf16 = _clip([440.0, 880.0, 1760.0])
+    ref, sr = decode_wav(buf16)
+    buf32 = _wav_bytes_codec((ref * 32768.0).astype(np.int16), sr, "pcm_f32le")
+    other = _clip([523.0, 1047.0], noise_seed=9)
+    rows = pd.DataFrame({
+        "clip_id": ["dup_a", "dup_b", "solo"],
+        "bytes": [buf16, buf32, other],
+        "sr_hz": [sr] * 3,
+        "dur_ms": [1500] * 3,
+        "codec": ["pcm_s16le", "pcm_f32le", "pcm_s16le"],
+        "transcript": [
+            "alpha beta gamma delta epsilon zeta eta theta",
+            "one two three four five six seven eight nine ten",
+            "lorem ipsum dolor sit amet consectetur adipiscing elit",
+        ],
+    })
+    corpus = str(tmp_path / "corpus.parquet")
+    rows.to_parquet(corpus, index=False)
+    pipe = DedupPipeline(spark, cfg, str(tmp_path / "wh"), corpus)
+    metrics = pipe.run(resume=False)
+    assert metrics["signatures"]["quarantined_by_codec"] == {}
+    comp = {
+        r["clip_id"]: r["component_id"]
+        for r in pipe.catalog.read("components").collect()
+    }
+    assert comp["dup_a"] == comp["dup_b"]
+    assert comp["solo"] != comp["dup_a"]
+
+
 def test_audio_signatures_spark_matches_local(spark, cfg, tiny_corpus_dir):
     corpus = spark.read.parquet(f"{tiny_corpus_dir}/corpus.parquet").limit(20)
     rows = audio_signatures(corpus, cfg).collect()
