@@ -105,6 +105,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_jaccard_verify": lambda s, d: dd.q_jaccard_verify(_docs(s, d)),
         "q_text_components": lambda s, d: dd.q_text_components(_docs(s, d)),
         "q_component_sizes": lambda s, d: dd.q_component_sizes(_docs(s, d)),
+        # the deduplicated corpus itself (keep-canonical) — round-4
+        "q_dedup_canonical": lambda s, d: dd.q_dedup_canonical(_docs(s, d)),
         "q_simhash_text": lambda s, d: dd.q_simhash_text(_docs(s, d)),
         "q_simhash_neardup": lambda s, d: dd.q_simhash_neardup(_docs(s, d)),
         # --- text analysis over documents ---
@@ -148,6 +150,7 @@ def oracle_sql() -> dict[str, str]:
         # recursive-CTE reachability replays the star-algorithm fixpoint
         "q_text_components": dd.SQL_TEXT_COMPONENTS,
         "q_component_sizes": dd.SQL_COMPONENT_SIZES,
+        "q_dedup_canonical": dd.SQL_DEDUP_CANONICAL,
         "q_simhash_text": dd.SQL_SIMHASH_TEXT,
         "q_simhash_neardup": dd.SQL_SIMHASH_NEARDUP,
         "q_token_stats": ts.SQL_TOKEN_STATS,

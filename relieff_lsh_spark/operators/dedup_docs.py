@@ -432,6 +432,21 @@ def q_component_sizes(docs: DataFrame) -> DataFrame:
     )
 
 
+def q_dedup_canonical(docs: DataFrame) -> DataFrame:
+    """The deduplicated corpus — what a training-data pipeline actually
+    ships downstream: one canonical row per duplicate component (the min
+    doc_id, which IS the component id), with the number of near-dup rows it
+    absorbed. Composes the full chain: shingle -> MinHash -> band ->
+    candidates -> exact verify -> components -> keep-canonical."""
+    comp = q_text_components(docs)
+    sizes = comp.groupBy("component_id").agg(F.count("*").alias("n_absorbed"))
+    return (
+        comp.where(F.col("doc_id") == F.col("component_id"))
+        .join(sizes, "component_id")
+        .select(F.col("doc_id").alias("canonical_id"), "n_absorbed")
+    )
+
+
 def q_simhash_text(docs: DataFrame) -> DataFrame:
     """Per-document 64-bit SimHash signature."""
     return simhash_df(docs).select("doc_id", "simhash")
@@ -642,6 +657,13 @@ SQL_COMPONENT_SIZES = f"""
 {_COMPONENTS_CTE}
 SELECT component_id, count(*) AS n_members, max(doc_id) AS max_member
 FROM comp GROUP BY component_id HAVING count(*) >= 2
+"""
+
+SQL_DEDUP_CANONICAL = f"""
+{_COMPONENTS_CTE}
+SELECT component_id AS canonical_id, count(*) AS n_absorbed
+FROM comp GROUP BY component_id
+HAVING min(doc_id) = component_id
 """
 
 _VOTES = ", ".join(
