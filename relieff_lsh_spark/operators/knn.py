@@ -249,19 +249,19 @@ _DOT_MASK_MIN = -(1 << 62)  # below any reachable quantized dot product
 
 def ivf_geometry(n_vectors: int) -> tuple[int, int]:
     """(groups, dirs) for a corpus of n_vectors: the smallest product
-    quantizer whose cell count dirs^groups keeps the EXPECTED cell fill
-    (n * IVF_PROBES^groups rows spread over the cells — multi-probe
-    multiplies row mass) at or under IVF_TARGET_FILL. This is the round-3
+    quantizer whose cell count dirs^groups keeps the EXPECTED primary-cell
+    fill (each vector is ASSIGNED to exactly one composite cell; only the
+    probe side multiplies) at or under IVF_TARGET_FILL. This is the round-3
     "production derives the geometry from n" note made real: the cell count
     GROWS with n, so in-cell verify work stays bounded per cell instead of
     reverting to Θ(n²/cells) with a fixed cell space."""
     import math
 
+    needed = max(2, math.ceil(n_vectors / IVF_TARGET_FILL))
     for groups in range(1, IVF_MAX_GROUPS + 1):
-        needed = max(2, math.ceil(n_vectors * IVF_PROBES**groups / IVF_TARGET_FILL))
         dirs = math.ceil(needed ** (1.0 / groups))
         if dirs <= IVF_MAX_DIRS:
-            return groups, max(dirs, IVF_PROBES)
+            return groups, max(dirs, 2)
     return IVF_MAX_GROUPS, IVF_MAX_DIRS
 
 
@@ -272,11 +272,15 @@ def q_ivf_ann_pairs(emb: DataFrame, n_vectors: int | None = None) -> DataFrame:
     pass n_vectors to skip the count job when the caller already knows it.
     Scale guards:
 
-      * multi-probe: every vector is assigned to its top-IVF_PROBES
-        directions per group (P^G composite probes), closing the
-        single-probe boundary-miss caveat;
-      * the in-cell join runs through the count-filtered bucket cap
-        (operators/capped.py), so one degenerate cell cannot emit O(c²)
+      * standard IVF asymmetry: every vector is ASSIGNED to exactly one
+        composite cell (its per-group argmax) but PROBES its top-IVF_PROBES
+        directions per group (P^G composite probes) — a pair is a candidate
+        when either side's primary cell is in the other's probe set, which
+        closes the single-probe boundary miss at P^G x the primary row
+        mass, NOT (P^G)^2 (the first round-4 cut multi-probed both join
+        sides and generated ~450x the surviving pairs in candidates);
+      * the probe-primary join runs through a count filter on PRIMARY cell
+        fill (cap IVF_CELL_CAP), so one degenerate cell cannot emit O(c²)
         pairs (tests/test_ann.py pins this with a planted hot cell), and
         drops are countable via capped_pairs_stats — never silent.
 
@@ -284,13 +288,26 @@ def q_ivf_ann_pairs(emb: DataFrame, n_vectors: int | None = None) -> DataFrame:
     directions), ties broken by direction index — deterministic
     cross-engine; ivf_sql(n) generates the value-identical DuckDB oracle
     for the same geometry."""
-    from relieff_lsh_spark.operators.capped import capped_pairs
-
     n = n_vectors if n_vectors is not None else emb.count()
     groups, dirs = ivf_geometry(n)
-    asg = _ivf_assignments(emb, groups, dirs)
     keys = [f"c{g}" for g in range(groups)]
-    pairs = capped_pairs(asg, keys, "vec_id", IVF_CELL_CAP)
+    asg = _ivf_assignments(emb, groups, dirs).localCheckpoint()
+    primary = asg.where(F.col("is_primary"))
+    counts = primary.groupBy(*keys).agg(F.count("*").alias("cell_n"))
+    kept_primary = (
+        primary.join(counts, keys).where(F.col("cell_n") <= IVF_CELL_CAP)
+    )
+    kept_probe = asg.join(counts, keys).where(F.col("cell_n") <= IVF_CELL_CAP)
+    p, q = kept_probe.alias("p"), kept_primary.alias("q")
+    pairs = (
+        p.join(q, keys)
+        .where(F.col("p.vec_id") != F.col("q.vec_id"))
+        .select(
+            F.least("p.vec_id", "q.vec_id").alias("a"),
+            F.greatest("p.vec_id", "q.vec_id").alias("b"),
+        )
+        .distinct()
+    )
     v = emb.select("vec_id", _dbl("embedding").alias("v"))
     return (
         pairs.join(v.select(F.col("vec_id").alias("a"), F.col("v").alias("va")), "a")
@@ -302,11 +319,12 @@ def q_ivf_ann_pairs(emb: DataFrame, n_vectors: int | None = None) -> DataFrame:
 
 
 def _ivf_assignments(emb: DataFrame, groups: int, dirs: int) -> DataFrame:
-    """(vec_id, c0..c{groups-1}): one row per composite probe cell — the
-    cross product of each group's top-IVF_PROBES directions (1-based within
-    the group). Narrow (per-row HOF arithmetic, no shuffle); the checkpoint
-    is the usual CollapseProject barrier so the integer dots are computed
-    once per row, not once per downstream reference."""
+    """(vec_id, c0..c{groups-1}, is_primary): one row per composite probe
+    cell — the cross product of each group's top-IVF_PROBES directions
+    (1-based within the group); is_primary marks the single all-argmax cell
+    the vector is ASSIGNED to. Narrow (per-row HOF arithmetic, no shuffle);
+    the checkpoint is the usual CollapseProject barrier so the integer dots
+    are computed once per row, not once per downstream reference."""
     n_planes = groups * dirs
     planes_lit = F.array(*[
         F.array(*[F.lit(v) for v in row]) for row in ann_hyperplanes(n_planes)
@@ -352,7 +370,13 @@ def _ivf_assignments(emb: DataFrame, groups: int, dirs: int) -> DataFrame:
     out = staged.select(
         "vec_id", *[probe_dirs(g).alias(f"p{g}") for g in range(groups)]
     )
-    done: list[str] = ["vec_id"]
+    # primary cell = each group's rank-1 pick (picks are in rank order)
+    out = out.select(
+        "vec_id",
+        *[F.col(f"p{g}") for g in range(groups)],
+        *[F.element_at(f"p{g}", 1).alias(f"prim{g}") for g in range(groups)],
+    )
+    done: list[str] = ["vec_id", *[f"prim{g}" for g in range(groups)]]
     for g in range(groups):
         out = out.select(
             *done,
@@ -360,7 +384,14 @@ def _ivf_assignments(emb: DataFrame, groups: int, dirs: int) -> DataFrame:
             *[f"p{h}" for h in range(g + 1, groups)],
         )
         done.append(f"c{g}")
-    return out
+    is_primary = F.lit(True)
+    for g in range(groups):
+        is_primary = is_primary & (F.col(f"c{g}") == F.col(f"prim{g}"))
+    return out.select(
+        "vec_id",
+        *[f"c{g}" for g in range(groups)],
+        is_primary.alias("is_primary"),
+    )
 
 
 def ivf_sql(n_vectors: int) -> str:
@@ -368,8 +399,6 @@ def ivf_sql(n_vectors: int) -> str:
     generated from the SAME ivf_geometry(n), so the two engines always agree
     on the cell structure (the round-3 'static SQL string' constraint was
     never real: the SQL was already built in Python)."""
-    from relieff_lsh_spark.operators.capped import capped_pairs_sql
-
     groups, dirs = ivf_geometry(n_vectors)
     n_planes = groups * dirs
     planes = ann_hyperplanes(n_planes)
@@ -382,11 +411,13 @@ def ivf_sql(n_vectors: int) -> str:
         " / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6)"
     )
     cells = ", ".join(f"p{g}.c AS c{g}" for g in range(groups))
+    primary = " AND ".join(f"p{g}.rk = 1" for g in range(groups))
     probe_joins = "\n  ".join(
         f"JOIN probes p{g} ON p{g}.vec_id = p0.vec_id AND p{g}.grp = {g}"
         for g in range(1, groups)
     )
-    keys = [f"c{g}" for g in range(groups)]
+    key_list = ", ".join(f"c{g}" for g in range(groups))
+    on = " AND ".join(f"pr.c{g} = qr.c{g}" for g in range(groups))
     return f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -403,16 +434,27 @@ ranked AS (
          row_number() OVER (PARTITION BY vec_id, p // {dirs}
                             ORDER BY dot DESC, p ASC) AS rk
   FROM dots),
-probes AS (SELECT vec_id, grp, CAST(dir + 1 AS INT) AS c
+probes AS (SELECT vec_id, grp, CAST(dir + 1 AS INT) AS c, rk
            FROM ranked WHERE rk <= {min(IVF_PROBES, dirs)}),
 asg AS (
-  SELECT p0.vec_id, {cells}
+  SELECT p0.vec_id, {cells}, ({primary}) AS is_primary
   FROM probes p0
   {probe_joins}
   WHERE p0.grp = 0),
-{capped_pairs_sql('asg', keys, 'vec_id', IVF_CELL_CAP)}
+prim AS (SELECT vec_id, {key_list} FROM asg WHERE is_primary),
+counts AS (SELECT {key_list}, count(*) AS cell_n FROM prim GROUP BY {key_list}),
+kept_prim AS (
+  SELECT p.* FROM prim p JOIN counts c USING ({key_list})
+  WHERE c.cell_n <= {IVF_CELL_CAP}),
+kept_probe AS (
+  SELECT a.vec_id, {key_list} FROM asg a JOIN counts c USING ({key_list})
+  WHERE c.cell_n <= {IVF_CELL_CAP}),
+cand AS (
+  SELECT DISTINCT least(pr.vec_id, qr.vec_id) AS a,
+                  greatest(pr.vec_id, qr.vec_id) AS b
+  FROM kept_probe pr JOIN kept_prim qr ON {on} AND pr.vec_id != qr.vec_id)
 SELECT c.a, c.b, {cos} AS cos_sim
-FROM capped_cand c
+FROM cand c
 JOIN e ea ON ea.vec_id = c.a
 JOIN e eb ON eb.vec_id = c.b
 WHERE {cos} >= {IVF_MIN_COS}

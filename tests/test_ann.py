@@ -77,15 +77,18 @@ def test_ivf_hot_cell_is_capped(spark):
     assert out.count() == 0  # bucket over cap -> no pairs from it
 
     groups, dirs = knn.ivf_geometry(n)
-    probes = min(knn.IVF_PROBES, dirs)
     asg = knn._ivf_assignments(emb, groups, dirs)
+    from pyspark.sql import functions as F
+
     stats = capped_pairs_stats(
-        asg, [f"c{g}" for g in range(groups)], knn.IVF_CELL_CAP
+        asg.where(F.col("is_primary")),
+        [f"c{g}" for g in range(groups)],
+        knn.IVF_CELL_CAP,
     ).collect()[0]
-    # identical vectors -> identical probe sets -> probes^groups hot cells,
-    # each holding every vector
-    assert stats["dropped_buckets"] == probes**groups
-    assert stats["dropped_rows"] == n * probes**groups
+    # identical vectors -> one shared PRIMARY cell holding every vector,
+    # over the cap -> dropped (probes into it are dropped with it)
+    assert stats["dropped_buckets"] == 1
+    assert stats["dropped_rows"] == n
 
 
 def test_ivf_multiprobe_assignments_shape(spark):
@@ -103,6 +106,12 @@ def test_ivf_multiprobe_assignments_shape(spark):
     ).collect()[0]
     assert bounds[0] >= 1 and bounds[1] <= dirs
     assert bounds[2] >= 1 and bounds[3] <= dirs
+    # exactly ONE primary (assigned) cell per vector among the probes
+    prim = (
+        asg.where(F.col("is_primary")).groupBy("vec_id").count()
+        .select("count").distinct().collect()
+    )
+    assert [r["count"] for r in prim] == [1]
 
 
 def test_ivf_geometry_scales_with_n(spark):
