@@ -240,10 +240,19 @@ IVF_MAX_GROUPS = 3  # probe multiplicity is IVF_PROBES^groups, so groups is
 #                   clamped; past ~5k vectors the clamped geometry over-fills
 #                   cells and the cap starts dropping (counted, never silent)
 #                   — production trains a real coarse quantizer there
-IVF_TARGET_FILL = IVF_CELL_CAP // 8  # expected rows per cell (incl. probe
-#                   duplicates) the geometry aims for: 8x headroom under the
-#                   cap absorbs data clustering (measured: a 64-cell space at
-#                   sf0.001 had 41 cells OVER cap from label clustering)
+IVF_TARGET_FILL = IVF_CELL_CAP // 8  # expected PRIMARY rows per cell the
+#                   geometry aims for: 8x headroom under the cap absorbs
+#                   data clustering (measured: a 64-cell space at sf0.001
+#                   had 41 cells OVER cap from label clustering)
+IVF_PROBE_GROUPS = 2  # multi-probe budget: only the IVF_PROBE_GROUPS groups
+#                   with the SMALLEST top1-top2 dot margin (the least
+#                   confident assignments — where a boundary miss is likely)
+#                   probe their top-IVF_PROBES directions; confident groups
+#                   probe only their argmax. Composite probes per vector are
+#                   therefore <= IVF_PROBES^IVF_PROBE_GROUPS regardless of
+#                   how many groups the derived geometry uses — without the
+#                   budget, g=3 geometry probed 27 cells/vector and the
+#                   probe join tripled for no measured recall gain.
 _DOT_MASK_MIN = -(1 << 62)  # below any reachable quantized dot product
 
 
@@ -274,11 +283,13 @@ def q_ivf_ann_pairs(emb: DataFrame, n_vectors: int | None = None) -> DataFrame:
 
       * standard IVF asymmetry: every vector is ASSIGNED to exactly one
         composite cell (its per-group argmax) but PROBES its top-IVF_PROBES
-        directions per group (P^G composite probes) — a pair is a candidate
-        when either side's primary cell is in the other's probe set, which
-        closes the single-probe boundary miss at P^G x the primary row
-        mass, NOT (P^G)^2 (the first round-4 cut multi-probed both join
-        sides and generated ~450x the surviving pairs in candidates);
+        directions in its IVF_PROBE_GROUPS least-confident groups (smallest
+        top1-top2 margin; other groups probe only their argmax) — a pair is
+        a candidate when either side's primary cell is in the other's probe
+        set, which closes the single-probe boundary miss at <=
+        IVF_PROBES^IVF_PROBE_GROUPS x the primary row mass, NOT (P^G)^2
+        (the first round-4 cut multi-probed both join sides and generated
+        ~450x the surviving pairs in candidates);
       * the probe-primary join runs through a count filter on PRIMARY cell
         fill (cap IVF_CELL_CAP), so one degenerate cell cannot emit O(c²)
         pairs (tests/test_ann.py pins this with a planted hot cell), and
@@ -355,26 +366,46 @@ def _ivf_assignments(emb: DataFrame, groups: int, dirs: int) -> DataFrame:
         )
 
     def probe_dirs(g: int):
-        """Top-IVF_PROBES direction indices of group g (1-based), ties ->
-        lower index: repeatedly take the first occurrence of the max and
-        mask it out — exactly row_number() OVER (ORDER BY dot DESC, idx ASC)
-        <= P, the oracle's formulation."""
+        """(picks, margin) for group g: the top-IVF_PROBES direction indices
+        (1-based, ties -> lower index: repeatedly take the first occurrence
+        of the max and mask it — exactly row_number() OVER (ORDER BY dot
+        DESC, idx ASC) <= P, the oracle's formulation) and the top1-top2
+        dot margin (assignment confidence, drives the probe budget)."""
         gd = F.slice(F.col("dots"), g * dirs + 1, dirs)
-        picks = []
+        tops, picks = [], []
         for _ in range(min(IVF_PROBES, dirs)):
-            pos = F.array_position(gd, F.array_max(gd))
+            top = F.array_max(gd)
+            pos = F.array_position(gd, top)
+            tops.append(top)
             picks.append(pos.cast("int"))
             gd = mask_at(gd, pos)
-        return F.array(*picks)
+        return F.array(*picks), tops[0] - tops[1] if len(tops) > 1 else F.lit(0)
 
+    pm = [probe_dirs(g) for g in range(groups)]
     out = staged.select(
-        "vec_id", *[probe_dirs(g).alias(f"p{g}") for g in range(groups)]
+        "vec_id",
+        *[pm[g][0].alias(f"pk{g}") for g in range(groups)],
+        *[pm[g][1].alias(f"m{g}") for g in range(groups)],
     )
-    # primary cell = each group's rank-1 pick (picks are in rank order)
+    # probe budget: group g probes all its picks only when its margin ranks
+    # among the IVF_PROBE_GROUPS smallest (ties -> lower group index)
+    def probes_of(g: int):
+        rank = sum(
+            (
+                (F.col(f"m{k}") < F.col(f"m{g}"))
+                | ((F.col(f"m{k}") == F.col(f"m{g}")) & F.lit(k < g))
+            ).cast("int")
+            for k in range(groups)
+            if k != g
+        ) if groups > 1 else F.lit(0)
+        return F.when(
+            rank < IVF_PROBE_GROUPS, F.col(f"pk{g}")
+        ).otherwise(F.slice(f"pk{g}", 1, 1))
+
     out = out.select(
         "vec_id",
-        *[F.col(f"p{g}") for g in range(groups)],
-        *[F.element_at(f"p{g}", 1).alias(f"prim{g}") for g in range(groups)],
+        *[probes_of(g).alias(f"p{g}") for g in range(groups)],
+        *[F.element_at(f"pk{g}", 1).alias(f"prim{g}") for g in range(groups)],
     )
     done: list[str] = ["vec_id", *[f"prim{g}" for g in range(groups)]]
     for g in range(groups):
@@ -434,8 +465,21 @@ ranked AS (
          row_number() OVER (PARTITION BY vec_id, p // {dirs}
                             ORDER BY dot DESC, p ASC) AS rk
   FROM dots),
-probes AS (SELECT vec_id, grp, CAST(dir + 1 AS INT) AS c, rk
-           FROM ranked WHERE rk <= {min(IVF_PROBES, dirs)}),
+margins AS (
+  SELECT vec_id, grp,
+         max(CASE WHEN rk = 1 THEN dot END)
+           - max(CASE WHEN rk = 2 THEN dot END) AS margin
+  FROM ranked GROUP BY vec_id, grp),
+grank AS (
+  SELECT vec_id, grp,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY margin ASC, grp ASC) AS grank
+  FROM margins),
+probes AS (
+  SELECT r.vec_id, r.grp, CAST(r.dir + 1 AS INT) AS c, r.rk
+  FROM ranked r JOIN grank g ON g.vec_id = r.vec_id AND g.grp = r.grp
+  WHERE r.rk <= CASE WHEN g.grank <= {IVF_PROBE_GROUPS}
+                     THEN {min(IVF_PROBES, dirs)} ELSE 1 END),
 asg AS (
   SELECT p0.vec_id, {cells}, ({primary}) AS is_primary
   FROM probes p0

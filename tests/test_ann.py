@@ -139,6 +139,56 @@ def test_ivf_geometry_scales_with_n(spark):
         assert got == want, (sf, len(got), len(want))
 
 
+def test_ivf_probe_budget_recall_at_three_groups(spark):
+    """At a geometry with more groups than the probe budget (n=5000 ->
+    3 groups), composite probes stay <= IVF_PROBES^IVF_PROBE_GROUPS per
+    vector (margin-budgeted multi-probe: only the least-confident groups
+    fan out) and recall over planted same-cluster pairs stays solid."""
+    import itertools
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((500, knn.ANN_DIM))
+    rows = []
+    for c in range(500):
+        for j in range(10):
+            v = base[c] + 0.15 * rng.standard_normal(knn.ANN_DIM)
+            v = v / np.linalg.norm(v)
+            rows.append((c * 10 + j, v.astype(np.float32).tolist(), c))
+    emb = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    )
+    n = len(rows)
+    groups, dirs = knn.ivf_geometry(n)
+    assert groups == 3  # more groups than the probe budget
+
+    asg = knn._ivf_assignments(emb, groups, dirs)
+    per_vec = asg.groupBy("vec_id").count().agg(F.max("count")).collect()[0][0]
+    assert per_vec <= knn.IVF_PROBES ** knn.IVF_PROBE_GROUPS
+
+    got = {(r["a"], r["b"]) for r in knn.q_ivf_ann_pairs(emb, n_vectors=n).collect()}
+    vecs = {r[0]: np.array(r[1], dtype=np.float64) for r in rows}
+    want = set()
+    for c in range(500):
+        ids = [c * 10 + j for j in range(10)]
+        for a, b in itertools.combinations(ids, 2):
+            cs = round(
+                float(
+                    np.dot(vecs[a], vecs[b])
+                    / (np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[b]))
+                ),
+                6,
+            )
+            if cs >= knn.IVF_MIN_COS:
+                want.add((a, b))
+    assert want
+    recall = len(got & want) / len(want)
+    assert recall >= 0.5, recall
+
+
 def test_embedding_neardup_hot_label_is_capped(spark):
     """One hot label past EMB_LABEL_CAP contributes no pairs; small labels
     are unaffected (same policy as the corpus bucket cap). The dropped label
