@@ -13,8 +13,11 @@ DuckDB oracle (list_dot_product on DOUBLE[]) matches bit-for-bit.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql import Window as W
 
 N_QUERIES = 20   # vec_id < 20 are the query set
@@ -337,24 +340,28 @@ def _ivf_assignments(emb: DataFrame, groups: int, dirs: int) -> DataFrame:
     the checkpoint is the usual CollapseProject barrier so the integer dots
     are computed once per row, not once per downstream reference."""
     n_planes = groups * dirs
-    planes_lit = F.array(*[
-        F.array(*[F.lit(v) for v in row]) for row in ann_hyperplanes(n_planes)
-    ])
+    planes_np = np.asarray(ann_hyperplanes(n_planes), dtype=np.int64)
     vq = F.transform(
         F.col("embedding"),
         lambda x: F.round(x.cast("double") * ANN_QUANT).cast("long"),
     )
-    dots = F.transform(
-        planes_lit,
-        lambda w: F.aggregate(
-            F.zip_with(F.col("vq"), w, lambda x, s: x * s),
-            F.lit(0).cast("long"),
-            lambda acc, t: acc + t,
-        ),
-    )
+
+    # The plane projections are one integer matmul per Arrow batch. The
+    # quantization stays JVM-side (authoritative — Spark/DuckDB agree on
+    # round-half-up there); the numpy step is EXACT int64 arithmetic on the
+    # already-quantized values, so cross-engine determinism is untouched.
+    # The HOF formulation this replaces evaluated groups*dirs*ANN_DIM
+    # interpreted lambdas per row — measured 36s for 20k rows at (3,14);
+    # the matmul is milliseconds.
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def plane_dots(vq_s: pd.Series) -> pd.Series:
+        m = np.stack(vq_s.to_numpy()).astype(np.int64)
+        d = m @ planes_np.T
+        return pd.Series(list(d))
+
     staged = (
         emb.select("vec_id", vq.alias("vq"))
-        .select("vec_id", dots.alias("dots"))
+        .select("vec_id", plane_dots("vq").alias("dots"))
         .localCheckpoint(eager=False)
     )
 
@@ -386,7 +393,12 @@ def _ivf_assignments(emb: DataFrame, groups: int, dirs: int) -> DataFrame:
         "vec_id",
         *[pm[g][0].alias(f"pk{g}") for g in range(groups)],
         *[pm[g][1].alias(f"m{g}") for g in range(groups)],
-    )
+    ).localCheckpoint(eager=False)
+    # ^ CollapseProject barrier (the repo-documented Catalyst trap): the
+    # budget expressions below reference every group's margin ~2(G-1) times
+    # and each pick array twice — without the barrier each reference
+    # re-evaluates the whole masked-argmax chain (measured 55.7s -> the
+    # barrier makes pk/m attributes evaluated once per row)
     # probe budget: group g probes all its picks only when its margin ranks
     # among the IVF_PROBE_GROUPS smallest (ties -> lower group index)
     def probes_of(g: int):
