@@ -50,6 +50,10 @@ class CandidateStats:
     dropped_buckets: int
     dropped_rows: int
     salted_buckets: int
+    rows_in: int = 0  # band rows entering the join — free from the same
+    #                   1-row stats aggregate; callers that previously
+    #                   counted their input separately (one extra evaluation
+    #                   of the whole upstream plan) read this instead
 
 
 def band_candidates(
@@ -90,6 +94,7 @@ def band_candidates(
         F.coalesce(F.sum(F.when(hot & rep, F.col("bucket_n"))), F.lit(0)).alias("rows"),
         F.count(F.when(hot & rep, 1)).alias("buckets"),
         F.count(F.when(warm & rep, 1)).alias("salted"),
+        F.count("*").alias("n_rows"),
     ).collect()[0]
 
     kept = annotated.where(~hot).withColumn(
@@ -119,5 +124,6 @@ def band_candidates(
         dropped_buckets=int(stats_row["buckets"] or 0),
         dropped_rows=int(stats_row["rows"] or 0),
         salted_buckets=int(stats_row["salted"] or 0),
+        rows_in=int(stats_row["n_rows"] or 0),
     )
     return cand, stats

@@ -388,9 +388,12 @@ class IncrementalDedup:
             ["channel", "band_id", "band_hash"],
             "left_semi",
         ).select("clip_id", "channel", "band_id", "band_hash")
-        rows_scanned = touched.count()
 
+        # the O(batch)-bound counter comes free from band_candidates' stats
+        # aggregate — a separate touched.count() here evaluated the whole
+        # state-scan + semi-join plan a second time per micro-batch
         cand, stats = band_candidates(touched, self.cfg)
+        rows_scanned = stats.rows_in
         # old-old pairs inside touched buckets were found by earlier batches
         new_ids = batch.select("clip_id")
         is_new = F.broadcast(new_ids.withColumn("is_new", F.lit(True)))
