@@ -98,7 +98,13 @@ def _minhash_expr(shh):
     references `shh` N_PERMS times, and Catalyst's CollapseProject inlines
     the md5 `transform` that produces shh into every branch — md5 runs
     N_PERMS x per shingle (measured 16x: 27s -> 2s at sf0.1). A single
-    aggregate references shh once, so the collapse stays free."""
+    aggregate references shh once, so the collapse stays free.
+
+    Perf note (round-4, measured): an Arrow/numpy twin of this fold was
+    value-identical but NOT faster — stage profiling shows the signature
+    wall is dominated by the shingle-STRING construction (7.7s of ~10s at
+    sf0.1), with md5 and this fold in the noise, so the fold stays JVM-side
+    (no Arrow transfer of the hash arrays)."""
     init = F.array(*[F.lit(MOD).cast("bigint")] * N_PERMS)
     return F.aggregate(
         shh, init, lambda acc, h: F.zip_with(acc, _perms_of(h), lambda a, b: F.least(a, b))
