@@ -123,6 +123,29 @@ def try_simhash(
     return simhash64(spectral_fingerprint(x, sr, cfg), planes)
 
 
+# (n_fft, sr_hz, n_freq_bands, fmax_hz) -> (hann window, band lo indices,
+# band hi indices, per-band 1/width, in-range band mask). All deterministic
+# functions of the key, so caching cannot change results; recomputing them
+# per clip was ~7% of the signature stage's CPU (round-4 profile).
+_FP_CONSTS: dict[tuple, tuple] = {}
+
+
+def _fp_constants(n_fft: int, sr_hz: int, cfg: DedupConfig) -> tuple:
+    key = (n_fft, sr_hz, cfg.n_freq_bands, cfg.fmax_hz)
+    consts = _FP_CONSTS.get(key)
+    if consts is None:
+        win = np.hanning(n_fft).astype(np.float32)
+        freqs = np.fft.rfftfreq(n_fft, 1.0 / sr_hz)
+        edges = np.linspace(0.0, cfg.fmax_hz, cfg.n_freq_bands + 1)
+        idx = np.searchsorted(freqs, edges)
+        los = idx[:-1].copy()
+        his = np.maximum(idx[1:], los + 1)
+        valid = his <= (n_fft // 2 + 1)
+        consts = (win, los.tolist(), his.tolist(), valid.tolist())
+        _FP_CONSTS[key] = consts
+    return consts
+
+
 def spectral_fingerprint(x: np.ndarray, sr_hz: int, cfg: DedupConfig) -> np.ndarray:
     """Noise-robust spectral fingerprint: mean power spectrum over Hann
     frames, pooled into cfg.n_freq_bands linear bands on 0..fmax_hz, log,
@@ -150,17 +173,20 @@ def spectral_fingerprint(x: np.ndarray, sr_hz: int, cfg: DedupConfig) -> np.ndar
     if n_frames > cfg.max_fft_frames:
         idx = np.linspace(0, n_frames - 1, cfg.max_fft_frames).astype(np.int64)
         frames = frames[idx]
-    win = np.hanning(n_fft).astype(np.float32)
+    win, los, his, valid = _fp_constants(n_fft, sr_hz, cfg)
     spec = np.abs(np.fft.rfft(frames * win, axis=1)) ** 2
     mean_spec = spec.mean(axis=0)  # (n_fft//2+1,)
 
-    freqs = np.fft.rfftfreq(n_fft, 1.0 / sr_hz)
-    edges = np.linspace(0.0, cfg.fmax_hz, cfg.n_freq_bands + 1)
-    idx = np.searchsorted(freqs, edges)
+    # np.add.reduce(s) / n is the exact kernel ndarray.mean() runs (same
+    # pairwise summation), minus the per-band method-dispatch overhead that
+    # was 44% of the fingerprint cost (round-4 profile; bit-identity
+    # verified on realistic corpus clips before landing).
     band = np.zeros(cfg.n_freq_bands, dtype=np.float64)
+    add_reduce = np.add.reduce
     for i in range(cfg.n_freq_bands):
-        lo, hi = idx[i], max(idx[i + 1], idx[i] + 1)
-        band[i] = mean_spec[lo:hi].mean() if hi <= len(mean_spec) else 0.0
+        if valid[i]:
+            lo, hi = los[i], his[i]
+            band[i] = add_reduce(mean_spec[lo:hi]) / (hi - lo)
 
     logb = np.log10(band + 1e-20)
     logb = np.maximum(logb, logb.max() - 3.0)  # -30 dB floor clamp
@@ -175,13 +201,15 @@ def simhash_planes(cfg: DedupConfig) -> np.ndarray:
     return rng.standard_normal((cfg.simhash_bits, cfg.n_freq_bands))
 
 
+_BIT_WEIGHTS = np.left_shift(np.uint64(1), np.arange(64, dtype=np.uint64))
+
+
 def simhash64(fp: np.ndarray, planes: np.ndarray) -> int:
-    """Sign bits of hyperplane projections packed into a signed int64."""
+    """Sign bits of hyperplane projections packed into a signed int64 (bit i
+    set iff projection i > 0 — integer packing, exactly the shift-or loop it
+    replaced, vectorized)."""
     bits = (planes @ fp) > 0
-    val = np.uint64(0)
-    for i, b in enumerate(bits):
-        if b:
-            val |= np.uint64(1) << np.uint64(i)
+    val = np.bitwise_or.reduce(_BIT_WEIGHTS[: bits.size][bits], initial=np.uint64(0))
     return int(val.astype(np.int64))
 
 
