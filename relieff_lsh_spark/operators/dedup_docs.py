@@ -8,9 +8,18 @@ The corpus pipeline itself uses xxhash64 (faster, JVM-native); the
 algorithms are identical.
 
 Performance shape (deliberate):
-  * ONE md5 per shingle; the N_PERMS permutations are cheap integer
-    arithmetic (a_i*h + b_i mod p) over the 32-bit prefix — never N_PERMS
-    md5 calls per shingle.
+  * ONE md5 per TOKEN — never per shingle, and never a materialized
+    shingle STRING: stage profiling (round 4) showed the k-word
+    concat_ws/slice shingle-string construction dominating the signature
+    wall (7.7s of ~10s at sf0.1), so shingle identity is a pair of integer
+    Horner chains over the two 32-bit words of the token md5 (h1: base
+    1000003 mod 4294967291 over word 1; h2: base 999983 mod 4294967279
+    over word 2 — 64 bits of identity, collision odds ~2^-64 per pair).
+    Both engines compute the identical unrolled arithmetic (K is a
+    compile-time constant), so cross-engine equality is exact. Measured
+    5x on the signature stage (8-10s -> 1.6-2.0s at sf0.1).
+  * the N_PERMS permutations are cheap integer arithmetic (a_i*h + b_i
+    mod p) over h1 — never N_PERMS hash calls per shingle.
   * every downstream expression references the previous stage's alias
     EXACTLY ONCE (one-pass aggregate folds, not one branch per perm/band):
     Catalyst's CollapseProject inlines aliases into every referencing
@@ -60,25 +69,68 @@ PREFILTER_MIN_AGREE = 5  # MinHash-estimate prefilter (SQL-mirrored): a
 #                      the raw candidate set would diverge, at the rate above.
 
 
+# Horner-chain constants (module docstring): two independent chains over
+# the two 32-bit md5 words give 64 bits of shingle identity. Overflow-safe
+# everywhere: acc < mod < 2^32 and base < 2^20, so acc*base + w < 2^52 + 2^32.
+HB1, M1 = 1000003, 4294967291   # largest prime < 2^32
+HB2, M2 = 999983, 4294967279    # next prime down, different base
+
+
 def tokens(col="text"):
     return F.filter(F.split(F.col(col), " "), lambda t: t != "")
 
 
-def shingles_expr(toks, k: int = K):
-    """Distinct word k-shingle strings (array<string>); [] if too short."""
-    n = F.size(toks)
+def token_word_hashes(col="text"):
+    """array<struct<w1,w2>>: both 32-bit words of md5 per token — ONE md5
+    per token, shared by the h1/h2 Horner chains."""
+    return F.transform(
+        F.transform(tokens(col), lambda t: F.md5(t)),
+        lambda m: F.struct(
+            F.conv(F.substring(m, 1, 8), 16, 10).cast("bigint").alias("w1"),
+            F.conv(F.substring(m, 9, 8), 16, 10).cast("bigint").alias("w2"),
+        ),
+    )
+
+
+def _horner(tw, i, field: str, base: int, mod: int):
+    """Unrolled K-term Horner chain over tw[i..i+K-1].field (i 0-based)."""
+    acc = F.element_at(tw, i + 1)[field]
+    for j in range(1, K):
+        acc = (acc * base + F.element_at(tw, i + 1 + j)[field]) % mod
+    return acc
+
+
+def shingle_hashes_expr(tw):
+    """array<struct<h1,h2>>: distinct k-shingle 64-bit hash pairs; [] if
+    fewer than K tokens. `tw` MUST be a materialized attribute (give it a
+    localCheckpoint barrier): each position references it 2K times, and
+    CollapseProject would inline the whole per-token md5 transform into
+    every reference (measured 67s vs 2s at sf0.1 — the module-docstring
+    trap in its worst form)."""
+    n = F.size(tw)
     sh = F.transform(
-        F.sequence(F.lit(0), n - k),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        F.sequence(F.lit(0), n - K),
+        lambda i: F.struct(
+            _horner(tw, i, "w1", HB1, M1).alias("h1"),
+            _horner(tw, i, "w2", HB2, M2).alias("h2"),
+        ),
     )
     return F.array_distinct(
-        F.when(n >= k, sh).otherwise(F.array().cast("array<string>"))
+        F.when(n >= K, sh).otherwise(
+            F.array().cast("array<struct<h1:bigint,h2:bigint>>")
+        )
     )
 
 
-def _h32(s):
-    """First 32 bits of md5 as bigint — portable across Spark and DuckDB."""
-    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint")
+def _shingled(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh): distinct shingle-hash pairs per doc; docs with no
+    shingles dropped. The one barrier every text-channel query builds on."""
+    d0 = docs.select(
+        "doc_id", token_word_hashes("text").alias("tw")
+    ).localCheckpoint(eager=False)
+    return d0.select(
+        "doc_id", shingle_hashes_expr(F.col("tw")).alias("sh")
+    ).where(F.size("sh") > 0)
 
 
 def _perms_of(h):
@@ -96,15 +148,17 @@ def _minhash_expr(shh):
 
     Shape matters: the naive array(array_min(transform(shh, perm_i)) for i)
     references `shh` N_PERMS times, and Catalyst's CollapseProject inlines
-    the md5 `transform` that produces shh into every branch — md5 runs
-    N_PERMS x per shingle (measured 16x: 27s -> 2s at sf0.1). A single
-    aggregate references shh once, so the collapse stays free.
+    the hash `transform` that produces shh into every branch — the whole
+    upstream hash chain runs N_PERMS x per shingle (measured 16x: 27s -> 2s
+    at sf0.1 in the md5-shingle era). A single aggregate references shh
+    once, so the collapse stays free.
 
     Perf note (round-4, measured): an Arrow/numpy twin of this fold was
-    value-identical but NOT faster — stage profiling shows the signature
-    wall is dominated by the shingle-STRING construction (7.7s of ~10s at
-    sf0.1), with md5 and this fold in the noise, so the fold stays JVM-side
-    (no Arrow transfer of the hash arrays)."""
+    value-identical but NOT faster — stage profiling showed the signature
+    wall was dominated by shingle-identity construction (then 7.7s of ~10s
+    at sf0.1; since cut 5x by the Horner rewrite, module docstring), with
+    this fold in the noise, so it stays JVM-side (no Arrow transfer of the
+    hash arrays)."""
     init = F.array(*[F.lit(MOD).cast("bigint")] * N_PERMS)
     return F.aggregate(
         shh, init, lambda acc, h: F.zip_with(acc, _perms_of(h), lambda a, b: F.least(a, b))
@@ -112,8 +166,8 @@ def _minhash_expr(shh):
 
 
 def signature_df(docs: DataFrame, keep_shingles: bool = True) -> DataFrame:
-    """(doc_id, [sh,] mh, bands): shingles -> md5 once per shingle -> one-pass
-    16-lane MinHash fold -> band hashes.
+    """(doc_id, [sh,] mh, bands): token md5s -> Horner shingle hashes ->
+    one-pass 16-lane MinHash fold (over h1) -> band hashes.
 
     The lazy checkpoint between the fold and the band derivation is a
     CollapseProject barrier: without it Catalyst inlines the mh fold into
@@ -122,19 +176,17 @@ def signature_df(docs: DataFrame, keep_shingles: bool = True) -> DataFrame:
     materialized attribute, so the band md5s are O(BANDS) arithmetic. This
     is the in-query analog of the corpus pipeline's signature snapshot.
 
-    keep_shingles=False drops the (bulky) shingle-string arrays from the
-    materialized state for consumers that only need mh/bands."""
-    d1 = docs.select("doc_id", shingles_expr(tokens("text")).alias("sh")).where(
-        F.size("sh") > 0
-    )
-    d2 = d1.select(
-        "doc_id", "sh",
-        F.transform(F.col("sh"), _h32).alias("shh"),
-    )
+    keep_shingles=False drops the shingle-hash-pair arrays from the
+    materialized state for consumers that only need mh/bands ("sh" is now
+    array<struct<h1,h2>> 64-bit hash pairs, not strings — module
+    docstring)."""
+    d1 = _shingled(docs)
     keep = ["doc_id", "sh"] if keep_shingles else ["doc_id"]
-    d3 = d2.select(
+    d3 = d1.select(
         *keep,
-        _minhash_expr(F.col("shh")).alias("mh"),
+        _minhash_expr(
+            F.transform(F.col("sh"), lambda s: s["h1"])
+        ).alias("mh"),
     ).localCheckpoint(eager=False)
     return d3.select(
         *keep, "mh",
@@ -218,9 +270,9 @@ def simhash_df(docs: DataFrame) -> DataFrame:
     vote over the distinct shingle hashes: the corpus pipeline's audio
     SimHash-64 (same 64/4x16 geometry, DedupConfig defaults) re-expressed
     over text with md5 so DuckDB can replay it bit-for-bit. The per-bit
-    vote is a single shuffle-free aggregate fold over the shingle hashes
-    (64 one-bit counters per doc in one pass; the DuckDB oracle votes via
-    explode + group-by, same values by construction).
+    vote is a single shuffle-free aggregate fold over the 64-bit shingle
+    hash pairs (64 one-bit counters per doc in one pass; the DuckDB oracle
+    votes via explode + group-by, same values by construction).
 
     64 bits matter at scale: a 16-bit hash gives 16 buckets/band, so every
     bucket crosses the skew cap once the corpus passes ~1k docs and recall
@@ -232,22 +284,13 @@ def simhash_df(docs: DataFrame) -> DataFrame:
     negative bigint needs engine-specific unsigned shifts, while carrying
     the chunks is portable arithmetic. Packing is overflow-safe in ANSI
     mode: the top bit is split off and applied as one min-long addition."""
-    d1 = docs.select("doc_id", shingles_expr(tokens("text")).alias("sh")).where(
-        F.size("sh") > 0
-    )
-    # one md5 per shingle, split into two 32-bit words (bits 0-31 / 32-63 of
-    # the vote); md5 computed on the inner lambda var so it runs once
-    hp = F.transform(
-        F.transform(F.col("sh"), lambda s: F.md5(s)),
-        lambda m: F.struct(
-            F.conv(F.substring(m, 1, 8), 16, 10).cast("bigint").alias("hlo"),
-            F.conv(F.substring(m, 9, 8), 16, 10).cast("bigint").alias("hhi"),
-        ),
-    )
+    d1 = _shingled(docs)
 
-    def bitvec(h):
+    # the h1/h2 Horner pair IS the 64-bit per-shingle hash (bits 0-31 from
+    # h1, 32-63 from h2) — no per-shingle md5 at all (module docstring)
+    def bitvec(s):
         return F.array(*[
-            F.shiftright(h["hlo" if i < 32 else "hhi"], i % 32)
+            F.shiftright(s["h1" if i < 32 else "h2"], i % 32)
             .bitwiseAND(F.lit(1))
             for i in range(SIM_BITS)
         ])
@@ -263,7 +306,8 @@ def simhash_df(docs: DataFrame) -> DataFrame:
         "doc_id",
         F.size("sh").alias("n_sh"),
         F.aggregate(
-            hp, init, lambda acc, h: F.zip_with(acc, bitvec(h), lambda a, b: a + b)
+            F.col("sh"), init,
+            lambda acc, s: F.zip_with(acc, bitvec(s), lambda a, b: a + b),
         ).alias("ones"),
     ).localCheckpoint(eager=False)
 
@@ -319,11 +363,16 @@ def q_dedup_exact(docs: DataFrame) -> DataFrame:
 
 
 def q_shingle_stats(docs: DataFrame) -> DataFrame:
-    toks = tokens("text")
-    return docs.select(
+    """Per-doc token and distinct-shingle counts (shingle identity = the
+    64-bit Horner hash pair, module docstring); all docs reported."""
+    d0 = docs.select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
-        F.size(shingles_expr(toks)).alias("n_shingles"),
+        F.size(tokens("text")).alias("n_tokens"),
+        token_word_hashes("text").alias("tw"),
+    ).localCheckpoint(eager=False)
+    return d0.select(
+        "doc_id", "n_tokens",
+        F.size(shingle_hashes_expr(F.col("tw"))).alias("n_shingles"),
     )
 
 
@@ -484,21 +533,37 @@ def q_simhash_neardup(docs: DataFrame) -> DataFrame:
 # ---- DuckDB oracle SQL -------------------------------------------------------
 
 _TOKS = "list_filter(string_split(text, ' '), t -> t <> '')"
-_H32 = "('0x' || substr(md5(shingle), 1, 8))::BIGINT"
-_PERM = f"(({_H32}) * (2*p.perm_id+1) + (7919*p.perm_id+13)) % {MOD}"
+_PERM = f"(h1 * (2*p.perm_id+1) + (7919*p.perm_id+13)) % {MOD}"
+
+
+def _horner_sql(lst: str, base: int, mod: int) -> str:
+    """Unrolled K-term Horner chain over {lst}[i..i+K-1] (i is the
+    list_transform lambda var, 1-based) — the exact twin of _horner."""
+    acc = f"{lst}[i]"
+    for j in range(1, K):
+        acc = f"(({acc}) * {base} + {lst}[i+{j}]) % {mod}"
+    return acc
 
 
 def _sh_cte(src: str) -> str:
-    """CTE producing (doc_id, shingle) distinct word-5-shingles of `src`."""
+    """CTEs producing sh(doc_id, h1, h2): distinct 64-bit Horner hash pairs
+    of the word-K-shingles of `src` — one md5 per TOKEN, zip-unnested
+    positional chains, then row-level DISTINCT (the exact twin of
+    _shingled; generate_series is empty when len < K)."""
     return f"""
       toks AS (SELECT doc_id, {_TOKS} AS tk FROM {src}),
-      sh AS (
-        SELECT doc_id, unnest(list_distinct(
-          CASE WHEN len(tk) >= {K}
-               THEN list_transform(generate_series(1, len(tk) - {K - 1}),
-                                   i -> array_to_string(tk[i:i+{K - 1}], ' '))
-               ELSE []::varchar[] END)) AS shingle
-        FROM toks)
+      tmw AS (SELECT doc_id, list_transform(tk, t -> md5(t)) AS tm FROM toks),
+      tww AS (SELECT doc_id,
+               list_transform(tm, m -> ('0x' || substr(m, 1, 8))::BIGINT) AS w1,
+               list_transform(tm, m -> ('0x' || substr(m, 9, 8))::BIGINT) AS w2
+             FROM tmw),
+      shp AS (SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(w1) - {K - 1}),
+                                     i -> {_horner_sql('w1', HB1, M1)})) AS h1,
+               unnest(list_transform(generate_series(1, len(w2) - {K - 1}),
+                                     i -> {_horner_sql('w2', HB2, M2)})) AS h2
+             FROM tww),
+      sh AS (SELECT DISTINCT doc_id, h1, h2 FROM shp)
     """
 
 
@@ -551,14 +616,11 @@ FROM both_t GROUP BY 1 HAVING count(*) > 1
 """
 
 SQL_SHINGLE_STATS = f"""
-WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents)
-SELECT doc_id, len(tk) AS n_tokens,
-       CASE WHEN len(tk) >= {K}
-            THEN len(list_distinct(list_transform(
-                   generate_series(1, len(tk) - {K - 1}),
-                   i -> array_to_string(tk[i:i+{K - 1}], ' '))))
-            ELSE 0 END AS n_shingles
-FROM toks
+WITH {_sh_cte('documents')},
+cnt AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id)
+SELECT t.doc_id, len(t.tk) AS n_tokens,
+       coalesce(c.n_shingles, 0)::INT AS n_shingles
+FROM toks t LEFT JOIN cnt c ON c.doc_id = t.doc_id
 """
 
 SQL_MINHASH_SIGS = f"""
@@ -614,7 +676,7 @@ inter AS (
   SELECT c.a, c.b, count(*) AS n_int
   FROM pre c
   JOIN sh sa ON sa.doc_id = c.a
-  JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+  JOIN sh sb ON sb.doc_id = c.b AND sb.h1 = sa.h1 AND sb.h2 = sa.h2
   GROUP BY 1, 2)
 SELECT i.a, i.b,
        round(n_int / (za.n + zb.n - n_int), 6) AS jaccard
@@ -636,7 +698,7 @@ inter AS (
   SELECT c.a, c.b, count(*) AS n_int
   FROM pre c
   JOIN sh sa ON sa.doc_id = c.a
-  JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+  JOIN sh sb ON sb.doc_id = c.b AND sb.h1 = sa.h1 AND sb.h2 = sa.h2
   GROUP BY 1, 2),
 verified AS (
   SELECT i.a, i.b
@@ -696,11 +758,11 @@ _PACK = (
 
 
 def _sim_cte(src_sh: str = "sh") -> str:
-    """CTEs (doc_id, shingle) -> sim(doc_id, simhash, chunk0..chunk3)."""
+    """CTEs sh(doc_id, h1, h2) -> sim(doc_id, simhash, chunk0..chunk3):
+    the Horner pair is the 64-bit per-shingle hash (bits 0-31 from h1,
+    32-63 from h2 — the exact twin of simhash_df's bitvec)."""
     return f"""
-  shh AS (SELECT doc_id, {_H32} AS hlo,
-                 ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS hhi
-          FROM {src_sh}),
+  shh AS (SELECT doc_id, h1 AS hlo, h2 AS hhi FROM {src_sh}),
   votes AS (SELECT doc_id, {_VOTES} FROM shh GROUP BY doc_id),
   chunks_t AS (SELECT doc_id, {_CHUNKS} FROM votes),
   sim AS (SELECT doc_id, ({_PACK})::BIGINT AS simhash,

@@ -10,7 +10,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from relieff_lsh_spark.operators.dedup_docs import K, shingles_expr, tokens
+from relieff_lsh_spark.operators.dedup_docs import (
+    _sh_cte,
+    shingle_hashes_expr,
+    token_word_hashes,
+    tokens,
+)
 
 STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
 
@@ -80,16 +85,25 @@ def q_bpe_token_count(docs: DataFrame) -> DataFrame:
 
 
 def q_doc_fingerprint(docs: DataFrame) -> DataFrame:
-    """Winnowing-style fingerprint: lexicographic min/max md5 over the
-    document's shingle set (the corpus pipeline's minimizer-key idea at
-    sketch size 2)."""
-    sh = shingles_expr(tokens("text"))
-    hashes = F.transform(sh, lambda s: F.md5(s))
-    return docs.where(F.size(sh) > 0).select(
+    """Winnowing-style fingerprint: min/max 64-bit Horner shingle hash over
+    the document's distinct shingle set (the corpus pipeline's
+    minimizer-key idea at sketch size 2). Shingle identity is the (h1, h2)
+    Horner pair (dedup_docs module docstring); the h1*2^32+h2 pack would
+    overflow int64, so the fingerprint is the PAIR-lexicographic min/max,
+    carried as its two words (struct ordering is field-lexicographic in
+    both engines)."""
+    d0 = docs.select(
+        "doc_id", token_word_hashes("text").alias("tw")
+    ).localCheckpoint(eager=False)
+    sh = d0.select(
+        "doc_id", shingle_hashes_expr(F.col("tw")).alias("sh")
+    ).where(F.size("sh") > 0)
+    mn, mx = F.array_min("sh"), F.array_max("sh")
+    return sh.select(
         "doc_id",
-        F.array_min(hashes).alias("fp_min"),
-        F.array_max(hashes).alias("fp_max"),
-        F.size(sh).alias("n_shingles"),
+        mn["h1"].alias("fp_min_h1"), mn["h2"].alias("fp_min_h2"),
+        mx["h1"].alias("fp_max_h1"), mx["h2"].alias("fp_max_h2"),
+        F.size("sh").alias("n_shingles"),
     )
 
 
@@ -140,15 +154,16 @@ FROM t
 """
 
 SQL_DOC_FINGERPRINT = f"""
-WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
-sh AS (
-  SELECT doc_id, list_distinct(list_transform(
-           generate_series(1, len(tk) - {K - 1}),
-           i -> array_to_string(tk[i:i+{K - 1}], ' '))) AS shingles
-  FROM toks WHERE len(tk) >= {K})
+WITH {_sh_cte('documents')},
+agg AS (
+  SELECT doc_id,
+         min(struct_pack(h1 := h1, h2 := h2)) AS mn,
+         max(struct_pack(h1 := h1, h2 := h2)) AS mx,
+         count(*) AS n_shingles
+  FROM sh GROUP BY doc_id)
 SELECT doc_id,
-       list_min(list_transform(shingles, s -> md5(s))) AS fp_min,
-       list_max(list_transform(shingles, s -> md5(s))) AS fp_max,
-       len(shingles) AS n_shingles
-FROM sh WHERE len(shingles) > 0
+       mn.h1 AS fp_min_h1, mn.h2 AS fp_min_h2,
+       mx.h1 AS fp_max_h1, mx.h2 AS fp_max_h2,
+       n_shingles::INT AS n_shingles
+FROM agg
 """
