@@ -21,7 +21,8 @@ from relieff_lsh_spark.functions.text import (
     make_minhash_udf,
     minimizer_keys_from,
     rotated_band_hashes_expr,
-    shingle_hashes_expr,
+    shingle_hashes_from_tokens,
+    token_hashes_expr,
     tokens_expr,
 )
 
@@ -33,30 +34,42 @@ def clip_signatures(
     minhash, text_bands, n_shingles). Narrow; bytes dies at the scan.
     `decoders` overrides the audio codec registry (functions/audio.py).
 
-    Positional shingle-hash arrays are STAGED as projection columns, then
+    Tokens are hashed ONCE (xxhash64 per token) in the simhash-UDF stage;
+    both k-gram widths (minhash shingles, substring grams) then derive as
+    variadic xxhash64 over k token hashes — no shingle STRING is ever
+    materialized (measured on the SQL-twin suite: string construction
+    dominated the signature wall). Positional arrays are STAGED as
+    projection columns on python-UDF stage boundaries, and the
     distinct/minimizer views derive from the materialized columns — inline
     composition re-evaluates the hashing per window element (O(n^2)/row;
     measured 116s of a 165s stage)."""
     minhash_udf = make_minhash_udf(cfg)
     simhash_udf = make_simhash_udf(cfg, decoders)
-    toks = tokens_expr("transcript")
     staged = corpus.select(
         "clip_id",
         "transcript",
         "codec",
-        shingle_hashes_expr(toks, cfg.shingle_k, distinct=False).alias("pos_sh"),
-        shingle_hashes_expr(toks, cfg.substr_k, distinct=False).alias("pos_sub"),
+        token_hashes_expr(tokens_expr("transcript")).alias("th"),
         simhash_udf("bytes", "codec").alias("simhash"),
     )
+    # `th` is an attribute here (the python-UDF stage above is a physical
+    # boundary), so the k references per position stay O(1) reads
     df = staged.select(
         "clip_id",
         "transcript",
         "codec",
         "simhash",
-        F.array_distinct("pos_sh").alias("shingles"),
-        minimizer_keys_from(F.col("pos_sub"), cfg.substr_window).alias("substr_keys"),
+        F.array_distinct(
+            shingle_hashes_from_tokens(F.col("th"), cfg.shingle_k)
+        ).alias("shingles"),
+        shingle_hashes_from_tokens(F.col("th"), cfg.substr_k).alias("pos_sub"),
     )
     df = df.withColumn("minhash", minhash_udf("shingles"))
+    # past the second UDF boundary pos_sub is materialized — required by
+    # the O(n) window references inside minimizer_keys_from
+    df = df.withColumn(
+        "substr_keys", minimizer_keys_from(F.col("pos_sub"), cfg.substr_window)
+    )
     cols = [
         "clip_id",
         "transcript",

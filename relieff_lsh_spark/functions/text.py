@@ -30,6 +30,32 @@ def tokens_expr(col: str | Column = "transcript") -> Column:
     return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
 
 
+def token_hashes_expr(tokens: Column) -> Column:
+    """array<bigint>: xxhash64 per token — ONE hash per token, shared by
+    every downstream k-gram width (minhash shingles AND substring grams
+    derive from the same array)."""
+    return F.transform(tokens, lambda t: F.xxhash64(t))
+
+
+def shingle_hashes_from_tokens(th: Column, k: int) -> Column:
+    """Positional k-shingle hashes as variadic xxhash64 over the k token
+    hashes — no k-word shingle STRING is ever materialized (round-4
+    measurement on the SQL-twin suite: string construction dominated the
+    signature wall; the same shape applies here with xxhash64 in place of
+    the Horner chains the oracle suite needs for SQL portability).
+
+    `th` MUST be a materialized attribute (a projection on the far side of
+    a python-UDF boundary, or a checkpoint): each position references it k
+    times, and CollapseProject would otherwise inline the per-token hash
+    transform into every reference. Short/empty texts -> []."""
+    n = F.size(th)
+    sh = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.xxhash64(*[F.element_at(th, i + 1 + j) for j in range(k)]),
+    )
+    return F.when(n >= k, sh).otherwise(F.array().cast("array<bigint>"))
+
+
 def shingle_hashes_expr(tokens: Column, k: int, distinct: bool = True) -> Column:
     """array<bigint> of xxhash64 over word k-shingles. Positional order kept
     when distinct=False (needed by winnowing). Short/empty texts -> [].

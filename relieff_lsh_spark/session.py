@@ -14,6 +14,13 @@ from pyspark.sql import SparkSession
 
 _DRIVER_MEM = os.environ.get("SPARK_DRIVER_MEM", "16g")
 GC_JVM_FLAGS = "-XX:+AlwaysPreTouch -XX:ParallelGCThreads=8 -XX:ConcGCThreads=2"
+# Debugging note (2026-08-17): a JVM SIGSEGV inside
+# ~StubRoutines::jlong_disjoint_arraycopy during Arrow UDF stages turned
+# out to be SECONDARY damage from the python worker dying mid-stream over
+# the unix-domain-socket channel (ModuleNotFoundError when launched from a
+# cwd where relieff_lsh_spark is not importable) — the JVM then reads a
+# garbage Arrow frame length. Launch with the repo on PYTHONPATH/cwd (or
+# ship it via --py-files); the crash is not a host/AVX problem.
 
 
 def _local_dir() -> str:
