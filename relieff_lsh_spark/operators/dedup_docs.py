@@ -26,10 +26,12 @@ Performance shape (deliberate):
     branch, so an alias used N times re-evaluates its whole upstream chain
     N times — with 16 perm branches that made md5 run 16x per shingle
     (measured 27s -> 2s at sf0.1 for q_minhash_sigs when folded).
-  * the band self-join runs over a localCheckpoint'ed signature relation —
-    the in-query analog of the pipeline's snapshot between the signature
-    and candidate stages (a self-join on an unmaterialized subtree computes
-    the whole signature plan twice).
+  * the band self-join runs over the signature stage's own (lazy)
+    localCheckpoint barrier — both join sides share that one materialized
+    RDD, so the signature plan computes once (a self-join on an
+    unmaterialized subtree would compute it twice; an ADDITIONAL eager
+    checkpoint on top, as earlier rounds had, just re-stores the relation
+    for nothing — removed after measurement in round 4).
 
 Parameters fixed (not DedupConfig) so the oracle SQL stays self-contained:
 K=5 word shingles, 16 perms, 4 bands x 4 rows.
@@ -391,7 +393,7 @@ def q_lsh_candidates(docs: DataFrame) -> DataFrame:
     pipeline's core band self-join (SURVEY.md §2.3 J4) on the documents
     table, fully SQL-replayable. No shingle arrays in the materialized
     state — candidates need only the band relation."""
-    sig = signature_df(augmented_docs(docs), keep_shingles=False).localCheckpoint()
+    sig = signature_df(augmented_docs(docs), keep_shingles=False)
     return _candidates_from(sig)
 
 
@@ -402,7 +404,7 @@ def q_lsh_candidates_refined(docs: DataFrame) -> DataFrame:
     q_lsh_candidates by construction (extra OR-bands only add collisions);
     the rotated bands catch near-threshold pairs whose agreeing minhash
     rows straddle a primary band cut."""
-    sig = signature_df(augmented_docs(docs), keep_shingles=False).localCheckpoint()
+    sig = signature_df(augmented_docs(docs), keep_shingles=False)
     return capped_pairs(
         _refined_bands_long(sig), ["band_id", "band_hash"], "doc_id", DOC_BUCKET_CAP
     )
@@ -435,6 +437,13 @@ def q_jaccard_verify(docs: DataFrame) -> DataFrame:
     threshold. Deterministic and SQL-mirrored, so cross-engine equality is
     exact; only a brute-force oracle over the raw candidate set would see
     the difference."""
+    # EAGER checkpoint, deliberately (round-4 measurement): this query
+    # consumes sig in SIX join branches (band self-join x2, prefilter mh
+    # x2, shingle arrays x2); with only the internal lazy barrier the
+    # first-job scheduling interleaves those consumers against an
+    # unmaterialized RDD and the query measured 3x slower (25.7s vs 8.0s
+    # at sf0.1). The candidates/simhash queries, with 2 consumers, go
+    # FASTER without the extra eager store — not a universal rule.
     sig = signature_df(augmented_docs(docs)).localCheckpoint()
     cand = _prefiltered(_candidates_from(sig), sig)
     sh = sig.select("doc_id", "sh")
@@ -513,7 +522,7 @@ def q_simhash_neardup(docs: DataFrame) -> DataFrame:
     hamming <= 3 collides on >= 1 chunk), self-join on the chunk, verify
     with bit_count(xor) <= 3 — the audio channel's candidate->verify shape
     (SURVEY.md §2.7 L1/L2) on SQL-replayable text."""
-    sig = simhash_df(augmented_docs(docs)).localCheckpoint()
+    sig = simhash_df(augmented_docs(docs))
     chunks = F.array(*[F.col(f"chunk{b}") for b in range(SIM_BANDS)])
     bands = sig.select("doc_id", F.posexplode(chunks).alias("band_id", "chunk"))
     cand = capped_pairs(bands, ["band_id", "chunk"], "doc_id", DOC_BUCKET_CAP)
