@@ -256,7 +256,6 @@ IVF_PROBE_GROUPS = 2  # multi-probe budget: only the IVF_PROBE_GROUPS groups
 #                   how many groups the derived geometry uses — without the
 #                   budget, g=3 geometry probed 27 cells/vector and the
 #                   probe join tripled for no measured recall gain.
-_DOT_MASK_MIN = -(1 << 62)  # below any reachable quantized dot product
 
 
 def ivf_geometry(n_vectors: int) -> tuple[int, int]:
@@ -346,59 +345,53 @@ def _ivf_assignments(emb: DataFrame, groups: int, dirs: int) -> DataFrame:
         lambda x: F.round(x.cast("double") * ANN_QUANT).cast("long"),
     )
 
-    # The plane projections are one integer matmul per Arrow batch. The
-    # quantization stays JVM-side (authoritative — Spark/DuckDB agree on
-    # round-half-up there); the numpy step is EXACT int64 arithmetic on the
-    # already-quantized values, so cross-engine determinism is untouched.
-    # The HOF formulation this replaces evaluated groups*dirs*ANN_DIM
-    # interpreted lambdas per row — measured 36s for 20k rows at (3,14);
-    # the matmul is milliseconds.
+    P = min(IVF_PROBES, dirs)
+
+    # ONE Arrow batch step does everything per-vector: integer matmul for
+    # the plane projections, then per-group top-P direction picks and the
+    # top1-top2 margin — all EXACT int64 numpy on the JVM-quantized values
+    # (quantization stays JVM-side where Spark/DuckDB agree on
+    # round-half-up), so cross-engine determinism is untouched. Ties pick
+    # the lower direction index (stable argsort of -dots), exactly the
+    # oracle's row_number() OVER (ORDER BY dot DESC, idx ASC). Returns a
+    # flat array per row: for each group, P 1-based picks then the margin.
+    # History: a HOF formulation of the dots evaluated groups*dirs*ANN_DIM
+    # interpreted lambdas per row (measured 36s for 20k rows at (3,14));
+    # its masked-argmax successor computed picks in JVM expressions whose
+    # trees were so large that Catalyst analysis/codegen dominated small
+    # inputs (measured 6.4s of a 10.4s warm query at 2k rows) — folding
+    # pick/margin selection into the existing numpy step removes both.
     @F.pandas_udf(T.ArrayType(T.LongType()))
-    def plane_dots(vq_s: pd.Series) -> pd.Series:
+    def plane_pkm(vq_s: pd.Series) -> pd.Series:
         m = np.stack(vq_s.to_numpy()).astype(np.int64)
         d = m @ planes_np.T
-        return pd.Series(list(d))
+        out = np.empty((d.shape[0], groups * (P + 1)), dtype=np.int64)
+        for g in range(groups):
+            gd = d[:, g * dirs:(g + 1) * dirs]
+            order = np.argsort(-gd, axis=1, kind="stable")
+            base = g * (P + 1)
+            out[:, base:base + P] = order[:, :P] + 1  # 1-based direction ids
+            if dirs > 1:
+                top2 = -np.sort(-gd, axis=1)[:, :2]
+                out[:, base + P] = top2[:, 0] - top2[:, 1]
+            else:
+                out[:, base + P] = 0
+        return pd.Series(list(out))
 
-    staged = (
+    out = (
         emb.select("vec_id", vq.alias("vq"))
-        .select("vec_id", plane_dots("vq").alias("dots"))
+        .select("vec_id", plane_pkm("vq").alias("pkm"))
         .localCheckpoint(eager=False)
-    )
-
-    def mask_at(arr, pos):
-        # helper (not an inline default-arg lambda: pyspark counts lambda
-        # params to pick the HOF arity, so `lambda x, i, p=pos` breaks)
-        return F.transform(
-            arr, lambda x, i: F.when(i == pos - 1, F.lit(_DOT_MASK_MIN)).otherwise(x)
+        .select(
+            "vec_id",
+            *[F.slice("pkm", g * (P + 1) + 1, P).alias(f"pk{g}")
+              for g in range(groups)],
+            *[F.element_at("pkm", g * (P + 1) + P + 1).alias(f"m{g}")
+              for g in range(groups)],
         )
-
-    def probe_dirs(g: int):
-        """(picks, margin) for group g: the top-IVF_PROBES direction indices
-        (1-based, ties -> lower index: repeatedly take the first occurrence
-        of the max and mask it — exactly row_number() OVER (ORDER BY dot
-        DESC, idx ASC) <= P, the oracle's formulation) and the top1-top2
-        dot margin (assignment confidence, drives the probe budget)."""
-        gd = F.slice(F.col("dots"), g * dirs + 1, dirs)
-        tops, picks = [], []
-        for _ in range(min(IVF_PROBES, dirs)):
-            top = F.array_max(gd)
-            pos = F.array_position(gd, top)
-            tops.append(top)
-            picks.append(pos.cast("int"))
-            gd = mask_at(gd, pos)
-        return F.array(*picks), tops[0] - tops[1] if len(tops) > 1 else F.lit(0)
-
-    pm = [probe_dirs(g) for g in range(groups)]
-    out = staged.select(
-        "vec_id",
-        *[pm[g][0].alias(f"pk{g}") for g in range(groups)],
-        *[pm[g][1].alias(f"m{g}") for g in range(groups)],
-    ).localCheckpoint(eager=False)
-    # ^ CollapseProject barrier (the repo-documented Catalyst trap): the
-    # budget expressions below reference every group's margin ~2(G-1) times
-    # and each pick array twice — without the barrier each reference
-    # re-evaluates the whole masked-argmax chain (measured 55.7s -> the
-    # barrier makes pk/m attributes evaluated once per row)
+    )
+    # pk/m are cheap O(1) reads of the materialized pkm attribute, so the
+    # multi-reference budget expressions below need no further barrier
     # probe budget: group g probes all its picks only when its margin ranks
     # among the IVF_PROBE_GROUPS smallest (ties -> lower group index)
     def probes_of(g: int):
