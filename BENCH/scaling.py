@@ -282,8 +282,19 @@ clips_in_dup_groups={s_hi['clips_in_dup_groups']}).
 
 Reproduce: `SCALE_N={N} SCALE_CPUS={LO},{HI} python BENCH/scaling.py`
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(md)
+    # Regenerate only the headline section; everything from the first
+    # "## " heading after it (measurement history, larger-scale points,
+    # provenance notes) is hand-maintained and must survive a re-run —
+    # a round-4 run clobbered it once.
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    appendix = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        idx = old.find("\n## ")
+        if idx != -1:
+            appendix = old[idx + 1:]
+    with open(path, "w") as f:
+        f.write(md + appendix)
     print(json.dumps(result))
 
 
