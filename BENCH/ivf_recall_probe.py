@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""IVF recall probe at a chosen corpus size (default n=20,000 — past the
+largest geometry the pytest gates exercise).
+
+Two populations, measured separately because they answer different
+questions:
+
+  * planted near-dup clusters (median cos ~0.98): the DEDUP-relevant
+    contract — members of a duplicate cluster must co-probe. This is what
+    q_ivf_ann_pairs exists for and what must survive the n-derived
+    geometry growing the cell count.
+  * the synthetic sf tables' diffuse pairs (all between cos 0.3 and 0.7 —
+    the bench embeddings contain NO pair above 0.7): low-similarity pairs
+    64 dims apart. IVF recall on these necessarily falls as cells grow
+    (they do not co-locate in any coarse quantizer); they are outside the
+    dedup contract and the probe reports them only so the number is on
+    record, not discovered by surprise.
+
+Measured 2026-08 (n=20000 -> geometry (3,14), IVF_PROBE_GROUPS=2):
+  planted same-cluster pairs >= 0.30: 90,000 (median cos 0.978)
+  recall on planted: 0.9658        (n=5000/(3,*) pytest gate: >= 0.5)
+  sf1x diffuse pairs [0.3,0.5): recall 0.057; [0.5,0.7): 0.169
+
+Usage: python BENCH/ivf_recall_probe.py [n_vectors]
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from relieff_lsh_spark.operators import knn  # noqa: E402
+from relieff_lsh_spark.session import get_spark  # noqa: E402
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
+MEMBERS = 10
+
+
+def main() -> None:
+    rng = np.random.default_rng(7)
+    n_clusters = N // MEMBERS
+    base = rng.standard_normal((n_clusters, knn.ANN_DIM))
+    rows = []
+    for c in range(n_clusters):
+        for j in range(MEMBERS):
+            v = base[c] + 0.15 * rng.standard_normal(knn.ANN_DIM)
+            v = v / np.linalg.norm(v)
+            rows.append((c * MEMBERS + j, v.astype(np.float32).tolist(), c))
+    n = len(rows)
+
+    spark = get_spark(master="local[16]", shuffle_partitions=16)
+    emb = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    )
+    groups, dirs = knn.ivf_geometry(n)
+    print(f"n={n} geometry=({groups},{dirs}) "
+          f"probe_budget={knn.IVF_PROBES}^{knn.IVF_PROBE_GROUPS}")
+    got = {
+        (r["a"], r["b"])
+        for r in knn.q_ivf_ann_pairs(emb, n_vectors=n).collect()
+    }
+
+    vecs = np.array([r[1] for r in rows], dtype=np.float64)
+    want, cos_list = set(), []
+    for c in range(n_clusters):
+        ids = list(range(c * MEMBERS, c * MEMBERS + MEMBERS))
+        sub = vecs[ids]
+        sub = sub / np.linalg.norm(sub, axis=1)[:, None]
+        s = np.round(sub @ sub.T, 6)
+        for i, j in itertools.combinations(range(MEMBERS), 2):
+            if s[i, j] >= knn.IVF_MIN_COS:
+                want.add((ids[i], ids[j]))
+                cos_list.append(s[i, j])
+    inter = len(got & want)
+    print(f"planted pairs>=thr: {len(want)} median_cos: "
+          f"{float(np.median(cos_list)):.4f}")
+    print(f"ivf pairs: {len(got)} recall_on_planted: {inter / len(want):.4f}")
+
+
+if __name__ == "__main__":
+    main()
