@@ -160,12 +160,12 @@ def oracle_sql() -> dict[str, str]:
         "q_bpe_token_count": ts.SQL_BPE_TOKEN_COUNT,
         "q_knn_bruteforce": knn.SQL_KNN_BRUTEFORCE,
         "q_embedding_neardup": knn.SQL_EMBEDDING_NEARDUP,
-        # exact: fixed-point quantized embeddings x literal {+/-1} planes ->
-        # integer dot products, bit-identical across engines
-        "q_simhash_ann_candidates": knn.SQL_SIMHASH_ANN_CANDIDATES,
-        # generated for the oracle SF's table size: ivf_geometry(n) derives
-        # the cell structure from n (round-4), and the SQL twin is built
-        # from the same derived constants so both engines share the geometry
+        # exact: fixed-point quantized embeddings x {+/-1} planes ->
+        # integer dot products, bit-identical across engines; generated for
+        # the oracle SF's table size: ann_cand_geometry(n) / ivf_geometry(n)
+        # derive the band/cell structure from n (round-4), and each SQL twin
+        # is built from the same derived constants so both engines share it
+        "q_simhash_ann_candidates": knn.ann_sql(_oracle_emb_rows()),
         "q_ivf_ann_pairs": knn.ivf_sql(_oracle_emb_rows()),
         "q_ann_topk": knn.SQL_ANN_TOPK,
         "q_libsvm_scan": _LIBSVM_SQL,

@@ -109,71 +109,104 @@ def ann_hyperplanes(n_planes: int = ANN_PLANES) -> list[list[int]]:
     ]
 
 
-def q_simhash_ann_candidates(emb: DataFrame) -> DataFrame:
-    """Scale-path ANN: 16-bit random-hyperplane SimHash bands over embeddings
-    -> count-capped band self-join (the audio channel's multi-index,
-    reference ReliefFFeatureSelector.scala:156-165, over embeddings).
+ANN_TARGET_FILL = 8    # expected rows per band bucket the derived geometry
+#                        aims for (8x headroom under ANN_BUCKET_CAP, same
+#                        rationale as IVF_TARGET_FILL)
+ANN_DESIGN_P = 0.9     # per-bit agreement the recall budget is designed at
+#                        (cos ~0.95 near-dups: p = 1 - arccos(0.95)/pi = 0.899)
+ANN_CAND_RECALL = 0.9  # candidate recall target at ANN_DESIGN_P
+ANN_MAX_BAND_BITS = 20  # 2^bits buckets per band; past this, selectivity
+#                        gains nothing on any corpus this sandbox holds
+ANN_MAX_BANDS = 8      # linear cost ceiling; at corpus sizes where the bit
+#                        width forces more bands than this to hold the
+#                        recall budget, production raises the ceiling (cost
+#                        is linear in bands) — the clamp keeps the demo
+#                        suite bounded and is documented at the clamp site
+
+
+def ann_cand_geometry(n_vectors: int) -> tuple[int, int]:
+    """(bands, band_bits) for the candidates suite at a corpus of n_vectors:
+    band selectivity (bits) grows with n so the EXPECTED bucket fill stays
+    at ANN_TARGET_FILL (the round-4 IVF precedent — a fixed 2x8-bit geometry
+    measured 77% of rows count-cap-dropped at 20k vectors); the band COUNT
+    then comes from the LSH recall budget 1-(1-p^bits)^bands >= target at
+    the design per-bit agreement. Both clamped (documented above)."""
+    import math
+
+    bits = max(
+        ANN_BAND_BITS,
+        math.ceil(math.log2(max(2.0, n_vectors / ANN_TARGET_FILL))),
+    )
+    bits = min(bits, ANN_MAX_BAND_BITS)
+    p_band = ANN_DESIGN_P ** bits
+    bands = math.ceil(math.log(1.0 - ANN_CAND_RECALL) / math.log(1.0 - p_band))
+    return max(2, min(bands, ANN_MAX_BANDS)), bits
+
+
+def q_simhash_ann_candidates(emb: DataFrame, n_vectors: int | None = None) -> DataFrame:
+    """Scale-path ANN: random-hyperplane SimHash bands over embeddings ->
+    count-capped band self-join (the audio channel's multi-index, reference
+    ReliefFFeatureSelector.scala:156-165, over embeddings), with the band
+    geometry derived from the corpus size by ann_cand_geometry(n) — pass
+    n_vectors to skip the count job when the caller already knows it.
 
     Exactness contract: embeddings are quantized to fixed-point bigints
-    (round(x * 1e6)) and the hyperplane weights are {+1,-1} literals, so
-    every projection is exact integer arithmetic (|dot| < 2^33 << 2^53) and
-    the sign bits are bit-identical across engines — this is what makes the
-    DuckDB oracle possible where the float version was order-sensitive.
-
-    The hyperplane matrix is one 2-D literal (16 x 64) consumed by nested
-    higher-order functions: a compact expression tree (unrolling 16
-    separate 64-wide aggregates made codegen compilation the dominant
-    cost)."""
+    (round(x * 1e6), JVM-side where Spark/DuckDB agree on round-half-up)
+    and the hyperplane weights are {+1,-1}, so every projection is exact
+    integer arithmetic (|dot| < 2^33 << 2^63) and the sign bits are
+    bit-identical across engines; ann_sql(n) generates the value-identical
+    DuckDB oracle for the same derived geometry."""
     from relieff_lsh_spark.operators.capped import capped_pairs
 
-    sigs = _ann_band_sigs(emb)
+    n = n_vectors if n_vectors is not None else emb.count()
+    bands, bits = ann_cand_geometry(n)
+    sigs = _ann_band_sigs(emb, band_bits=bits, n_planes=bands * bits)
     return capped_pairs(sigs, ["band_id", "band_hash"], "vec_id", ANN_BUCKET_CAP)
 
 
-def _ann_band_sigs(emb: DataFrame, band_bits: int = ANN_BAND_BITS) -> DataFrame:
+def _ann_band_sigs(
+    emb: DataFrame, band_bits: int = ANN_BAND_BITS, n_planes: int | None = None
+) -> DataFrame:
     """(vec_id, band_id, band_hash): integer-exact random-hyperplane SimHash
-    banding over the ANN_PLANES sign bits, band width `band_bits` (so
-    ANN_PLANES // band_bits bands — fewer bits per band = more, coarser
-    probes = higher recall at lower selectivity)."""
-    n_bands = ANN_PLANES // band_bits
-    planes_lit = F.array(*[
-        F.array(*[F.lit(v) for v in row]) for row in ann_hyperplanes()
-    ])
+    banding over n_planes sign bits (default ANN_PLANES), band width
+    `band_bits` (n_planes // band_bits bands — fewer bits per band = more,
+    coarser probes = higher recall at lower selectivity).
+
+    The projections run as ONE exact int64 numpy matmul per Arrow batch
+    (the IVF stage's proven shape, _ivf_assignments): quantization stays
+    JVM-side where both engines agree on round-half-up, and the sign/pack
+    arithmetic is integer-exact, so cross-engine determinism is untouched.
+    The earlier all-HOF formulation evaluated n_planes x 64 interpreted
+    lambdas per row — fine at 16 planes, the dominant cost once the derived
+    geometry grows past ~40."""
+    if n_planes is None:
+        n_planes = ANN_PLANES
+    n_bands = n_planes // band_bits
+    planes_np = np.asarray(ann_hyperplanes(n_planes), dtype=np.int64)
+    pow2 = (1 << np.arange(band_bits, dtype=np.int64))
     vq = F.transform(
         F.col("embedding"),
         lambda x: F.round(x.cast("double") * ANN_QUANT).cast("long"),
     )
-    bits = F.transform(
-        planes_lit,
-        lambda w: (
-            F.aggregate(
-                F.zip_with(F.col("vq"), w, lambda x, s: x * s),
-                F.lit(0).cast("long"),
-                lambda acc, t: acc + t,
-            )
-            > 0
-        ).cast("int"),
-    )
-    staged = emb.select("vec_id", vq.alias("vq")).select(
-        "vec_id", bits.alias("bits")
-    )
-    pow2 = F.array(*[F.lit(1 << i) for i in range(band_bits)])
 
-    def band(b: int):
-        chunk = F.slice(F.col("bits"), b * band_bits + 1, band_bits)
-        return F.aggregate(
-            F.zip_with(chunk, pow2, lambda x, w: x * w), F.lit(0),
-            lambda acc, t: acc + t,
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def band_hashes(vq_s: pd.Series) -> pd.Series:
+        m = np.stack(vq_s.to_numpy()).astype(np.int64)
+        bits = (m @ planes_np.T) > 0
+        out = np.empty((m.shape[0], n_bands), dtype=np.int32)
+        for b in range(n_bands):
+            out[:, b] = bits[:, b * band_bits:(b + 1) * band_bits] @ pow2
+        return pd.Series(list(out))
+
+    return (
+        emb.select("vec_id", vq.alias("vq"))
+        .select("vec_id", band_hashes("vq").alias("bh"))
+        .select(
+            "vec_id", F.posexplode("bh").alias("band_id", "band_hash")
         )
-
-    stack_args: list = [F.lit(n_bands)]
-    for b in range(n_bands):
-        stack_args += [F.lit(b), band(b)]
-    return staged.select(
-        F.col("vec_id"),
-        F.stack(*stack_args).alias("band_id", "band_hash"),
-    ).localCheckpoint()  # evaluate the signature expression once, not on
-    # every side of the downstream self-join
+        .localCheckpoint()  # evaluate the signature UDF once, not on
+        # every side of the downstream self-join
+    )
 
 
 ANN_TOPK_BAND_BITS = 4  # 4 bands x 4 bits: recall-oriented probe geometry;
@@ -510,13 +543,24 @@ WHERE {cos} >= {IVF_MIN_COS}
 """
 
 
-def _ann_sql() -> str:
+def ann_sql(n_vectors: int) -> str:
+    """DuckDB oracle for q_simhash_ann_candidates over a table of n_vectors
+    rows — generated from the SAME ann_cand_geometry(n), so the two engines
+    always agree on the band structure (the ivf_sql(n) pattern)."""
+    bands, bits = ann_cand_geometry(n_vectors)
+    return _ann_sql(n_bands=bands, band_bits=bits)
+
+
+def _ann_sql(
+    n_bands: int = ANN_PLANES // ANN_BAND_BITS, band_bits: int = ANN_BAND_BITS
+) -> str:
     from relieff_lsh_spark.operators.capped import capped_pairs_sql
 
-    planes = ann_hyperplanes()
+    n_planes = n_bands * band_bits
+    planes = ann_hyperplanes(n_planes)
     rows = ",\n    ".join(
         f"({p}, [{', '.join(str(w) for w in planes[p])}])"
-        for p in range(ANN_PLANES)
+        for p in range(n_planes)
     )
     return f"""
 WITH e AS (
@@ -531,15 +575,12 @@ bits AS (
          CASE WHEN list_dot_product(e.vq, pl.w) > 0 THEN 1 ELSE 0 END AS bit
   FROM e CROSS JOIN planes pl),
 bands AS (
-  SELECT vec_id, p // {ANN_BAND_BITS} AS band_id,
-         CAST(sum(bit * (1 << (p % {ANN_BAND_BITS}))) AS INT) AS band_hash
-  FROM bits GROUP BY vec_id, p // {ANN_BAND_BITS}),
+  SELECT vec_id, p // {band_bits} AS band_id,
+         CAST(sum(bit * (1 << (p % {band_bits}))) AS INT) AS band_hash
+  FROM bits GROUP BY vec_id, p // {band_bits}),
 {capped_pairs_sql('bands', ['band_id', 'band_hash'], 'vec_id', ANN_BUCKET_CAP)}
 SELECT a, b FROM capped_cand
 """
-
-
-SQL_SIMHASH_ANN_CANDIDATES = _ann_sql()
 
 
 def _ann_topk_sql() -> str:

@@ -206,6 +206,103 @@ def test_embedding_neardup_hot_label_is_capped(spark):
     assert stats["dropped_rows"] == hot_n
 
 
+def test_ann_cand_geometry_scales_with_n(spark):
+    """ann_cand_geometry derives the band structure from the corpus size
+    (more selective bands at larger n, bucket fill bounded, band count from
+    the recall budget — the round-4 IVF precedent: a fixed 2x8-bit geometry
+    measured 77% of rows count-cap-dropped at 20k vectors), and
+    q_simhash_ann_candidates matches its generated DuckDB oracle at two
+    table sizes with DIFFERENT derived geometry."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    g_2000 = knn.ann_cand_geometry(2000)
+    g_2100 = knn.ann_cand_geometry(2100)   # first size past the 8-bit fill
+    g_20000 = knn.ann_cand_geometry(20000)
+    assert g_2000[1] < g_2100[1] <= g_20000[1]   # selectivity grows with n
+    for n, (bands, bits) in [(2000, g_2000), (2100, g_2100), (20000, g_20000)]:
+        assert n / 2 ** bits <= knn.ANN_TARGET_FILL   # expected fill bounded
+        assert 2 <= bands <= knn.ANN_MAX_BANDS
+
+    rng = np.random.default_rng(11)
+    for n in (500, 2100):   # geometry (5,8) vs (5,9)
+        vecs = rng.standard_normal((n, knn.ANN_DIM)).astype(np.float32)
+        pdf = pd.DataFrame(
+            {"vec_id": range(n), "embedding": list(map(list, vecs))}
+        )
+        emb = spark.createDataFrame(pdf)
+        got = {
+            tuple(r)
+            for r in knn.q_simhash_ann_candidates(emb, n_vectors=n).collect()
+        }
+        import pyarrow as pa
+
+        con = duckdb.connect()
+        # explicit list<float> Arrow schema: a pandas object column binds as
+        # untyped and duckdb's list_transform lambda then fails to resolve
+        con.register(
+            "embeddings",
+            pa.table({
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array(
+                    list(map(list, vecs)), pa.list_(pa.float32())
+                ),
+            }),
+        )
+        want = {tuple(r) for r in con.execute(knn.ann_sql(n)).fetchall()}
+        con.close()
+        assert got == want, (n, len(got), len(want))
+
+
+def test_ann_cand_recall_and_drops_at_derived_geometry(spark):
+    """At a corpus size past the old fixed geometry's saturation point, the
+    derived geometry must (a) stop the cap from mass-dropping buckets on
+    non-degenerate data and (b) recover planted near-dup pairs at the
+    design recall. (The fixed 2x8-bit layout dropped 77% of rows at 20k
+    vectors; 4000 here keeps the test fast — its derived (bands, 9-bit)
+    geometry already differs from the n<=2048 one.)"""
+    import numpy as np
+    import pandas as pd
+
+    from relieff_lsh_spark.operators.capped import capped_pairs_stats
+
+    rng = np.random.default_rng(3)
+    n_clusters, members = 400, 10
+    base = rng.standard_normal((n_clusters, knn.ANN_DIM))
+    rows = []
+    for c in range(n_clusters):
+        for j in range(members):
+            v = base[c] + 0.15 * rng.standard_normal(knn.ANN_DIM)
+            rows.append((c * members + j, (v / np.linalg.norm(v)).astype(np.float32).tolist()))
+    n = len(rows)
+    emb = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    )
+    bands, bits = knn.ann_cand_geometry(n)
+    sigs = knn._ann_band_sigs(emb, band_bits=bits, n_planes=bands * bits)
+    stats = capped_pairs_stats(
+        sigs, ["band_id", "band_hash"], knn.ANN_BUCKET_CAP
+    ).collect()[0]
+    # clustered-but-not-degenerate data: expected fill ~n/2^bits << cap
+    assert stats["dropped_rows"] <= 0.05 * n * bands, dict(stats.asDict())
+
+    got = {
+        (min(a, b), max(a, b))
+        for a, b in knn.q_simhash_ann_candidates(emb, n_vectors=n).collect()
+    }
+    want = {
+        (c * members + i, c * members + j)
+        for c in range(n_clusters)
+        for i in range(members)
+        for j in range(i + 1, members)
+    }
+    recall = len(got & want) / len(want)
+    # planted pairs sit near cos 0.95+ (per-bit p ~0.9+) — the geometry's
+    # own design point; 0.8 leaves slack for the single hyperplane draw
+    assert recall >= 0.8, recall
+
+
 def test_ivf_multiprobe_recall_vs_brute(spark):
     """Multi-probe IVF recall against the exhaustive pair set: the top-2
     probes per group must recover a solid majority of all cos >= threshold
