@@ -16,10 +16,19 @@ questions:
     dedup contract and the probe reports them only so the number is on
     record, not discovered by surprise.
 
-Measured 2026-08 (n=20000 -> geometry (3,14), IVF_PROBE_GROUPS=2):
-  planted same-cluster pairs >= 0.30: 90,000 (median cos 0.978)
-  recall on planted: 0.9658        (n=5000/(3,*) pytest gate: >= 0.5)
-  sf1x diffuse pairs [0.3,0.5): recall 0.057; [0.5,0.7): 0.169
+Measured 2026-08, round 4 (fixed +/-1 plane family, clamped at 4096 cells):
+  n=20000 -> geometry (3,14): recall on planted 0.9658, cap drops begin
+  past ~30k vectors (the round-4 VERDICT's #1 scale residual)
+
+Measured 2026-08-18, round 5 (TRAINED product-k-means quantizer,
+train_ivf_directions; IVF_MAX_DIRS=256):
+  n=20000  -> (2,50):  recall on planted 0.9940
+  n=50000  -> (2,80):  recall on planted 0.9892, cap drops 0 buckets/0 rows
+              (the n where the old clamp bound; round-5 gate was >= 0.95
+              with ~zero drops)
+  n=200000 -> (2,159): recall on planted 0.9643
+  sf1x diffuse pairs (cos 0.3-0.7, outside the dedup contract): unchanged
+  character — low by design; see population notes above
 
 Usage: python BENCH/ivf_recall_probe.py [n_vectors]
 """
@@ -60,11 +69,29 @@ def main() -> None:
     )
     groups, dirs = knn.ivf_geometry(n)
     print(f"n={n} geometry=({groups},{dirs}) "
-          f"probe_budget={knn.IVF_PROBES}^{knn.IVF_PROBE_GROUPS}")
+          f"probe_width={knn._ivf_probe_width(groups, dirs)} "
+          f"budget={knn.IVF_PROBES}^{knn.IVF_PROBE_GROUPS}")
     got = {
         (r["a"], r["b"])
         for r in knn.q_ivf_ann_pairs(emb, n_vectors=n).collect()
     }
+
+    # counted cap drops on the trained primary-cell structure — the round-5
+    # "~zero drops at the n where the old clamp bound" evidence
+    from pyspark.sql import functions as F
+
+    from relieff_lsh_spark.operators.capped import capped_pairs_stats
+
+    sample = knn.ivf_sample_spark(emb, n)
+    D, n2 = knn.train_ivf_directions(sample, groups, dirs)
+    asg = knn._ivf_assignments(emb, groups, dirs, D, n2)
+    stats = capped_pairs_stats(
+        asg.where(F.col("is_primary")),
+        [f"c{g}" for g in range(groups)],
+        knn.IVF_CELL_CAP,
+    ).collect()[0]
+    print(f"cap_drops: buckets={stats['dropped_buckets']} "
+          f"rows={stats['dropped_rows']} of n={n}")
 
     vecs = np.array([r[1] for r in rows], dtype=np.float64)
     want, cos_list = set(), []

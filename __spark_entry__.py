@@ -33,7 +33,10 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
-def _oracle_emb_rows(sf_dir: str = "/root/testdata/sf0.01") -> int:
+_ORACLE_EMB = "/root/testdata/sf0.01/embeddings.parquet"
+
+
+def _oracle_emb_rows() -> int:
     """Row count of the oracle SF's embeddings table, read from the parquet
     footer on the driver (no Spark job) — the n that ivf_geometry(n) derives
     the IVF cell structure from. The driver compares Spark vs DuckDB at
@@ -41,7 +44,7 @@ def _oracle_emb_rows(sf_dir: str = "/root/testdata/sf0.01") -> int:
     the same n and hence the same generated geometry."""
     import pyarrow.parquet as pq
 
-    return int(pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows)
+    return int(pq.ParquetFile(_ORACLE_EMB).metadata.num_rows)
 
 
 def _libsvm(spark: SparkSession) -> DataFrame:
@@ -160,13 +163,19 @@ def oracle_sql() -> dict[str, str]:
         "q_bpe_token_count": ts.SQL_BPE_TOKEN_COUNT,
         "q_knn_bruteforce": knn.SQL_KNN_BRUTEFORCE,
         "q_embedding_neardup": knn.SQL_EMBEDDING_NEARDUP,
-        # exact: fixed-point quantized embeddings x {+/-1} planes ->
-        # integer dot products, bit-identical across engines; generated for
-        # the oracle SF's table size: ann_cand_geometry(n) / ivf_geometry(n)
-        # derive the band/cell structure from n (round-4), and each SQL twin
-        # is built from the same derived constants so both engines share it
+        # exact: fixed-point quantized embeddings x integer literal
+        # directions -> integer scores, bit-identical across engines;
+        # generated for the oracle SF's table: ann_cand_geometry(n) /
+        # ivf_geometry(n) derive the band/cell structure from n (round-4),
+        # the IVF centroids are TRAINED from the table's own deterministic
+        # stride sample (round-5, read engine-free via the parquet footer
+        # path), and each SQL twin embeds the same derived constants +
+        # trained literals so both engines share them
         "q_simhash_ann_candidates": knn.ann_sql(_oracle_emb_rows()),
-        "q_ivf_ann_pairs": knn.ivf_sql(_oracle_emb_rows()),
+        "q_ivf_ann_pairs": knn.ivf_sql(
+            _oracle_emb_rows(),
+            knn.ivf_sample_parquet(_ORACLE_EMB, _oracle_emb_rows()),
+        ),
         "q_ann_topk": knn.SQL_ANN_TOPK,
         "q_libsvm_scan": _LIBSVM_SQL,
         # q_audio_dedup_components: binary audio + iterative fixpoint -> not

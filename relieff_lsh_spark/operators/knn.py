@@ -270,12 +270,18 @@ IVF_PROBES = 3    # multi-probe: each vector is assigned to its top-P
 #                   directions per group (P^G composite probes), so boundary
 #                   pairs still co-probe
 IVF_CELL_CAP = 64  # in-cell skew cap (count-filtered, SQL-replayable)
-IVF_MAX_DIRS = 16  # per-group direction ceiling (argmax over more literal
-#                   directions degrades code balance on this toy plane family)
-IVF_MAX_GROUPS = 3  # probe multiplicity is IVF_PROBES^groups, so groups is
-#                   clamped; past ~5k vectors the clamped geometry over-fills
-#                   cells and the cap starts dropping (counted, never silent)
-#                   — production trains a real coarse quantizer there
+IVF_MAX_DIRS = 256  # per-group centroid ceiling. Round-5: the coarse
+#                   quantizer is TRAINED (product k-means over a
+#                   deterministic data sample, train_ivf_directions), so the
+#                   ceiling is set by training statistics — 256 centroids
+#                   from a 4096-row sample is 16 points/centroid — not by
+#                   the old +/-1 plane family's code balance. dirs^groups
+#                   cells with groups<=3 covers n up to ~134M at
+#                   IVF_TARGET_FILL=8 before any clamp binds.
+IVF_MAX_GROUPS = 3  # probe multiplicity is bounded separately
+#                   (IVF_PROBE_GROUPS); groups is clamped because each
+#                   product group quantizes a 64/groups-dim block — past 3
+#                   blocks the per-block signal on 64-dim data thins out
 IVF_TARGET_FILL = IVF_CELL_CAP // 8  # expected PRIMARY rows per cell the
 #                   geometry aims for: 8x headroom under the cap absorbs
 #                   data clustering (measured: a 64-cell space at sf0.001
@@ -309,12 +315,161 @@ def ivf_geometry(n_vectors: int) -> tuple[int, int]:
     return IVF_MAX_GROUPS, IVF_MAX_DIRS
 
 
-def q_ivf_ann_pairs(emb: DataFrame, n_vectors: int | None = None) -> DataFrame:
-    """IVF-shaped ANN with a corpus-size-derived cell structure: the coarse
-    quantizer is the PRODUCT of `groups` independent argmax codes (one per
-    group of `dirs` literal directions), geometry from ivf_geometry(n) —
-    pass n_vectors to skip the count job when the caller already knows it.
-    Scale guards:
+# -- trained coarse quantizer (round-5) --------------------------------------
+# The IVF cell structure used to come from the fixed +/-1 md5-parity plane
+# family, clamped at 4096 cells — past ~30k vectors cells over-filled and the
+# cap dropped rows (counted, but recall decayed). Production IVF trains its
+# coarse quantizer from the data (the reference's analog is KNiNe's
+# auto-tuned keyLength/numTables, ReliefFFeatureSelector.scala:158-161,
+# 534-536); here that is a deterministic product k-means:
+#
+#   * sample: every vec_id % stride == 0 row, vec_id order, first
+#     IVF_TRAIN_SAMPLE — a rule both engines (and both read paths: Spark
+#     collect / pyarrow footer read) reproduce bit-identically, because
+#     float32 parquet values widen exactly to float64 either way.
+#   * product structure: the 64 dims split into `groups` contiguous blocks
+#     (classic PQ coarse quantization), `dirs` centroids k-means-trained per
+#     block — cell diversity across groups is by construction (disjoint
+#     dims), not by seed luck.
+#   * integer domain: the sample is quantized once (scale ANN_QUANT) and
+#     every k-means step is exact — int64 sums, argmax scores
+#     2*(x.c) - |c|^2 whose values stay far below 2^53 so even float64 BLAS
+#     matmuls of them are EXACT (every partial sum is an integer < 2^53) —
+#     so training is deterministic across processes, and the trained
+#     centroids can be emitted as literal BIGINT VALUES into the DuckDB
+#     oracle (ivf_sql), keeping the cross-engine exactness contract.
+#
+# Assignment everywhere (UDF + SQL) is argmin L2 over a block, expressed as
+# argmax of the exact integer score 2*(vq.cq) - |cq|^2, ties to the lower
+# direction index.
+
+IVF_TRAIN_SAMPLE = 4096   # sample rows the quantizer trains on
+IVF_KMEANS_ITERS = 20     # fixed Lloyd iteration budget (early-stops on
+#                           centroid fixpoint; determinism needs a bound,
+#                           not convergence)
+
+
+def ivf_sample_stride(n_vectors: int) -> int:
+    return max(1, n_vectors // IVF_TRAIN_SAMPLE)
+
+
+def ivf_sample_spark(emb: DataFrame, n_vectors: int) -> np.ndarray:
+    """Deterministic training sample via Spark: (IVF_TRAIN_SAMPLE x dim)
+    float64. A bounded driver collect (<= 4096 rows x 64 floats), the same
+    tier as the reference's driver-side side tables (R:233-234)."""
+    stride = ivf_sample_stride(n_vectors)
+    rows = (
+        emb.where(F.col("vec_id") % stride == 0)
+        .orderBy("vec_id")
+        .limit(IVF_TRAIN_SAMPLE)
+        .select(F.col("embedding").cast("array<double>").alias("v"))
+        .collect()
+    )
+    return np.array([r["v"] for r in rows], dtype=np.float64)
+
+
+def ivf_sample_parquet(path: str, n_vectors: int | None = None) -> np.ndarray:
+    """The same sample read engine-free from the parquet footer path — what
+    oracle_sql() uses, so the generated SQL never needs a SparkSession.
+    Bit-identical to ivf_sample_spark on the same file (pinned by
+    tests/test_ann.py::test_ivf_sample_paths_agree)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path, columns=["vec_id", "embedding"])
+    vid = t["vec_id"].to_numpy()
+    n = int(n_vectors) if n_vectors is not None else len(vid)
+    stride = ivf_sample_stride(n)
+    keep = np.flatnonzero(vid % stride == 0)
+    keep = keep[np.argsort(vid[keep], kind="stable")][:IVF_TRAIN_SAMPLE]
+    emb = t["embedding"].combine_chunks()
+    flat = np.asarray(emb.values, dtype=np.float64)
+    dim = len(flat) // len(vid)
+    return flat.reshape(len(vid), dim)[keep]
+
+
+def _kmeans_int(X: np.ndarray, k: int, seed: int) -> np.ndarray:
+    """Deterministic Lloyd k-means over int64-quantized points. All
+    arithmetic exact (see block comment above); empty clusters steal the
+    worst-fit points (lowest own score, ties by stable sort order)."""
+    S = X.shape[0]
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(S, k, replace=False) if k <= S else np.resize(np.arange(S), k)
+    C = X[idx].copy()
+    Xf = X.astype(np.float64)
+    for _ in range(IVF_KMEANS_ITERS):
+        Cf = C.astype(np.float64)
+        scores = 2.0 * (Xf @ Cf.T) - (Cf * Cf).sum(axis=1)[None, :]
+        assign = scores.argmax(axis=1)  # ties -> lowest centroid index
+        counts = np.bincount(assign, minlength=k)
+        sums = np.zeros((k, X.shape[1]), dtype=np.int64)
+        np.add.at(sums, assign, X)
+        newC = C.copy()
+        nonempty = counts > 0
+        newC[nonempty] = np.floor(
+            sums[nonempty] / counts[nonempty, None] + 0.5
+        ).astype(np.int64)
+        empties = np.flatnonzero(~nonempty)
+        if empties.size:
+            worst = np.argsort(scores[np.arange(S), assign], kind="stable")
+            for t, j in enumerate(empties):
+                newC[j] = X[worst[t % S]]
+        if np.array_equal(newC, C):
+            break
+        C = newC
+    return C
+
+
+_IVF_TRAIN_CACHE: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def train_ivf_directions(
+    sample: np.ndarray, groups: int, dirs: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(D, n2): D is the (groups*dirs x dim) int64 centroid matrix, each
+    row zero outside its group's contiguous dim block; n2 its exact squared
+    norms. Cached on (groups, dirs, sample bytes) — the bench re-derives the
+    same quantizer per query otherwise."""
+    import hashlib
+
+    key = (groups, dirs, hashlib.sha1(np.ascontiguousarray(sample).tobytes()).hexdigest())
+    hit = _IVF_TRAIN_CACHE.get(key)
+    if hit is not None:
+        return hit
+    S, dim = sample.shape
+    Xq = np.floor(sample * ANN_QUANT + 0.5).astype(np.int64)
+    bounds = [round(g * dim / groups) for g in range(groups + 1)]
+    D = np.zeros((groups * dirs, dim), dtype=np.int64)
+    for g in range(groups):
+        lo, hi = bounds[g], bounds[g + 1]
+        D[g * dirs:(g + 1) * dirs, lo:hi] = _kmeans_int(
+            Xq[:, lo:hi], dirs, seed=1000 + g
+        )
+    n2 = (D * D).sum(axis=1)
+    _IVF_TRAIN_CACHE[key] = (D, n2)
+    return D, n2
+
+
+def _ivf_probe_width(groups: int, dirs: int) -> int:
+    """Per-group probe count for budgeted groups: top-IVF_PROBES directions,
+    except flat (groups=1) geometry spends the whole composite budget
+    IVF_PROBES^IVF_PROBE_GROUPS in its single group — composite probes per
+    vector stay <= that budget in every geometry."""
+    if groups == 1:
+        return min(dirs, IVF_PROBES ** IVF_PROBE_GROUPS)
+    return min(IVF_PROBES, dirs)
+
+
+def q_ivf_ann_pairs(
+    emb: DataFrame,
+    n_vectors: int | None = None,
+    sample: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF ANN with a corpus-size-derived, DATA-TRAINED cell structure: the
+    coarse quantizer is the PRODUCT of `groups` independent k-means codes
+    (one per contiguous dim block, `dirs` trained centroids each; see the
+    trained-quantizer block comment above), geometry from ivf_geometry(n) —
+    pass n_vectors to skip the count job, and `sample` to skip the sample
+    collect, when the caller already has them. Scale guards:
 
       * standard IVF asymmetry: every vector is ASSIGNED to exactly one
         composite cell (its per-group argmax) but PROBES its top-IVF_PROBES
@@ -330,14 +485,17 @@ def q_ivf_ann_pairs(emb: DataFrame, n_vectors: int | None = None) -> DataFrame:
         pairs (tests/test_ann.py pins this with a planted hot cell), and
         drops are countable via capped_pairs_stats — never silent.
 
-    All arithmetic is exact integers (quantized embeddings x {+1,-1} literal
-    directions), ties broken by direction index — deterministic
-    cross-engine; ivf_sql(n) generates the value-identical DuckDB oracle
-    for the same geometry."""
+    All arithmetic is exact integers (quantized embeddings x trained integer
+    centroid literals), ties broken by direction index — deterministic
+    cross-engine; ivf_sql(n, sample) generates the value-identical DuckDB
+    oracle for the same geometry and the same trained centroids."""
     n = n_vectors if n_vectors is not None else emb.count()
     groups, dirs = ivf_geometry(n)
+    if sample is None:
+        sample = ivf_sample_spark(emb, n)
+    D, n2 = train_ivf_directions(sample, groups, dirs)
     keys = [f"c{g}" for g in range(groups)]
-    asg = _ivf_assignments(emb, groups, dirs).localCheckpoint()
+    asg = _ivf_assignments(emb, groups, dirs, D, n2).localCheckpoint()
     primary = asg.where(F.col("is_primary"))
     counts = primary.groupBy(*keys).agg(F.count("*").alias("cell_n"))
     kept_primary = (
@@ -364,30 +522,45 @@ def q_ivf_ann_pairs(emb: DataFrame, n_vectors: int | None = None) -> DataFrame:
     )
 
 
-def _ivf_assignments(emb: DataFrame, groups: int, dirs: int) -> DataFrame:
+def _ivf_assignments(
+    emb: DataFrame,
+    groups: int,
+    dirs: int,
+    D: np.ndarray | None = None,
+    n2: np.ndarray | None = None,
+) -> DataFrame:
     """(vec_id, c0..c{groups-1}, is_primary): one row per composite probe
-    cell — the cross product of each group's top-IVF_PROBES directions
-    (1-based within the group); is_primary marks the single all-argmax cell
-    the vector is ASSIGNED to. Narrow (per-row HOF arithmetic, no shuffle);
-    the checkpoint is the usual CollapseProject barrier so the integer dots
-    are computed once per row, not once per downstream reference."""
-    n_planes = groups * dirs
-    planes_np = np.asarray(ann_hyperplanes(n_planes), dtype=np.int64)
+    cell — the cross product of each group's top-P trained directions
+    (1-based within the group, P = _ivf_probe_width); is_primary marks the
+    single all-argmax cell the vector is ASSIGNED to. D/n2 are the trained
+    centroid matrix + exact squared norms (train_ivf_directions); None
+    trains from this DataFrame's own stride sample. Narrow (per-row Arrow
+    arithmetic, no shuffle); the checkpoint is the usual CollapseProject
+    barrier so the scores are computed once per row, not once per
+    downstream reference."""
+    if D is None or n2 is None:
+        D, n2 = train_ivf_directions(
+            ivf_sample_spark(emb, emb.count()), groups, dirs
+        )
     vq = F.transform(
         F.col("embedding"),
         lambda x: F.round(x.cast("double") * ANN_QUANT).cast("long"),
     )
 
-    P = min(IVF_PROBES, dirs)
+    P = _ivf_probe_width(groups, dirs)
+    Df = D.astype(np.float64)
+    n2f = n2.astype(np.float64)
 
-    # ONE Arrow batch step does everything per-vector: integer matmul for
-    # the plane projections, then per-group top-P direction picks and the
-    # top1-top2 margin — all EXACT int64 numpy on the JVM-quantized values
+    # ONE Arrow batch step does everything per-vector: the centroid-score
+    # matmul, then per-group top-P direction picks and the top1-top2 margin.
+    # Scores are 2*(vq.cq) - |cq|^2 on the JVM-quantized values
     # (quantization stays JVM-side where Spark/DuckDB agree on
-    # round-half-up), so cross-engine determinism is untouched. Ties pick
-    # the lower direction index (stable argsort of -dots), exactly the
-    # oracle's row_number() OVER (ORDER BY dot DESC, idx ASC). Returns a
-    # flat array per row: for each group, P 1-based picks then the margin.
+    # round-half-up): every product and partial sum is an integer far below
+    # 2^53, so the float64 BLAS matmul is EXACT and cross-engine
+    # determinism is untouched. Ties pick the lower direction index (stable
+    # argsort of -scores), exactly the oracle's row_number() OVER
+    # (ORDER BY score DESC, idx ASC). Returns a flat array per row: for
+    # each group, P 1-based picks then the margin.
     # History: a HOF formulation of the dots evaluated groups*dirs*ANN_DIM
     # interpreted lambdas per row (measured 36s for 20k rows at (3,14));
     # its masked-argmax successor computed picks in JVM expressions whose
@@ -396,8 +569,8 @@ def _ivf_assignments(emb: DataFrame, groups: int, dirs: int) -> DataFrame:
     # pick/margin selection into the existing numpy step removes both.
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def plane_pkm(vq_s: pd.Series) -> pd.Series:
-        m = np.stack(vq_s.to_numpy()).astype(np.int64)
-        d = m @ planes_np.T
+        m = np.stack(vq_s.to_numpy()).astype(np.float64)
+        d = (2.0 * (m @ Df.T) - n2f[None, :]).astype(np.int64)
         out = np.empty((d.shape[0], groups * (P + 1)), dtype=np.int64)
         for g in range(groups):
             gd = d[:, g * dirs:(g + 1) * dirs]
@@ -463,18 +636,20 @@ def _ivf_assignments(emb: DataFrame, groups: int, dirs: int) -> DataFrame:
     )
 
 
-def ivf_sql(n_vectors: int) -> str:
+def ivf_sql(n_vectors: int, sample: np.ndarray) -> str:
     """DuckDB oracle for q_ivf_ann_pairs over a table of n_vectors rows —
-    generated from the SAME ivf_geometry(n), so the two engines always agree
-    on the cell structure (the round-3 'static SQL string' constraint was
-    never real: the SQL was already built in Python)."""
+    generated from the SAME ivf_geometry(n) AND the same trained quantizer
+    (train_ivf_directions over `sample`, normally ivf_sample_parquet of the
+    oracle table), so the two engines always agree on the cell structure
+    and the centroid literals."""
     groups, dirs = ivf_geometry(n_vectors)
+    D, n2 = train_ivf_directions(sample, groups, dirs)
     n_planes = groups * dirs
-    planes = ann_hyperplanes(n_planes)
     rows = ",\n    ".join(
-        f"({p}, [{', '.join(str(w) for w in planes[p])}])"
+        f"({p}, [{', '.join(str(int(w)) for w in D[p])}], {int(n2[p])})"
         for p in range(n_planes)
     )
+    probe_width = _ivf_probe_width(groups, dirs)
     cos = (
         "round(list_dot_product(ea.v, eb.v)"
         " / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6)"
@@ -493,11 +668,12 @@ WITH e AS (
          list_transform(embedding,
                         x -> CAST(round(CAST(x AS DOUBLE) * {ANN_QUANT}) AS BIGINT)) AS vq
   FROM embeddings),
-planes(p, w) AS (VALUES
+cents(p, w, n2) AS (VALUES
     {rows}),
 dots AS (
-  SELECT e.vec_id, pl.p, list_dot_product(e.vq, pl.w) AS dot
-  FROM e CROSS JOIN planes pl),
+  SELECT e.vec_id, pl.p,
+         2 * list_dot_product(e.vq, pl.w) - pl.n2 AS dot
+  FROM e CROSS JOIN cents pl),
 ranked AS (
   SELECT vec_id, p // {dirs} AS grp, p % {dirs} AS dir, dot,
          row_number() OVER (PARTITION BY vec_id, p // {dirs}
@@ -517,7 +693,7 @@ probes AS (
   SELECT r.vec_id, r.grp, CAST(r.dir + 1 AS INT) AS c, r.rk
   FROM ranked r JOIN grank g ON g.vec_id = r.vec_id AND g.grp = r.grp
   WHERE r.rk <= CASE WHEN g.grank <= {IVF_PROBE_GROUPS}
-                     THEN {min(IVF_PROBES, dirs)} ELSE 1 END),
+                     THEN {probe_width} ELSE 1 END),
 asg AS (
   SELECT p0.vec_id, {cells}, ({primary}) AS is_primary
   FROM probes p0

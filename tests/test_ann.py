@@ -117,7 +117,9 @@ def test_ivf_multiprobe_assignments_shape(spark):
 def test_ivf_geometry_scales_with_n(spark):
     """ivf_geometry derives the cell structure from the corpus size (bigger
     corpus -> more cells), and q_ivf_ann_pairs matches its generated DuckDB
-    oracle at two different table sizes with DIFFERENT derived geometry."""
+    oracle at two table sizes — the Spark side training its quantizer from
+    the Spark-collected sample, the oracle from the parquet-footer sample,
+    so the match also pins the two sampling paths to the same literals."""
     import duckdb
 
     g_small = knn.ivf_geometry(200)
@@ -126,7 +128,7 @@ def test_ivf_geometry_scales_with_n(spark):
     cells = lambda g: g[1] ** g[0]
     assert cells(g_large) > cells(g_small)
 
-    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.1"):
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         n = emb.count()
         got = {tuple(r) for r in knn.q_ivf_ann_pairs(emb, n_vectors=n).collect()}
@@ -134,16 +136,40 @@ def test_ivf_geometry_scales_with_n(spark):
         con.execute(
             f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf}/embeddings.parquet')"
         )
-        want = {tuple(r) for r in con.execute(knn.ivf_sql(n)).fetchall()}
+        sample = knn.ivf_sample_parquet(f"{sf}/embeddings.parquet", n)
+        want = {tuple(r) for r in con.execute(knn.ivf_sql(n, sample)).fetchall()}
         con.close()
         assert got == want, (sf, len(got), len(want))
 
 
+def test_ivf_sample_paths_agree(spark):
+    """The Spark-collect and parquet-footer sampling paths must produce the
+    SAME float64 sample (and hence the same trained centroid literals) —
+    the cross-engine exactness contract hangs on it."""
+    import numpy as np
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.1"):
+        path = f"{sf}/embeddings.parquet"
+        emb = spark.read.parquet(path)
+        n = emb.count()
+        s_spark = knn.ivf_sample_spark(emb, n)
+        s_arrow = knn.ivf_sample_parquet(path, n)
+        assert s_spark.shape == s_arrow.shape
+        assert np.array_equal(s_spark, s_arrow)
+        groups, dirs = knn.ivf_geometry(n)
+        d1, n1 = knn.train_ivf_directions(s_spark, groups, dirs)
+        d2, n2 = knn.train_ivf_directions(s_arrow, groups, dirs)
+        assert np.array_equal(d1, d2) and np.array_equal(n1, n2)
+
+
 def test_ivf_probe_budget_recall_at_three_groups(spark):
-    """At a geometry with more groups than the probe budget (n=5000 ->
-    3 groups), composite probes stay <= IVF_PROBES^IVF_PROBE_GROUPS per
-    vector (margin-budgeted multi-probe: only the least-confident groups
-    fan out) and recall over planted same-cluster pairs stays solid."""
+    """At a geometry with more groups than the probe budget, composite
+    probes stay <= IVF_PROBES^IVF_PROBE_GROUPS per vector (margin-budgeted
+    multi-probe: only the least-confident groups fan out) and recall over
+    planted same-cluster pairs stays solid. With the trained quantizer's
+    IVF_MAX_DIRS the DERIVED geometry only reaches 3 groups past ~500k
+    vectors, so the budget check forces groups=3 directly; the recall check
+    runs the derived geometry."""
     import itertools
 
     import numpy as np
@@ -162,10 +188,8 @@ def test_ivf_probe_budget_recall_at_three_groups(spark):
         pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
     )
     n = len(rows)
-    groups, dirs = knn.ivf_geometry(n)
-    assert groups == 3  # more groups than the probe budget
-
-    asg = knn._ivf_assignments(emb, groups, dirs)
+    assert knn.IVF_PROBE_GROUPS < 3  # the premise of the budget check
+    asg = knn._ivf_assignments(emb, 3, 8)  # forced past the probe budget
     per_vec = asg.groupBy("vec_id").count().agg(F.max("count")).collect()[0][0]
     assert per_vec <= knn.IVF_PROBES ** knn.IVF_PROBE_GROUPS
 
