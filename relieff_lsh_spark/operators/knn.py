@@ -117,11 +117,21 @@ ANN_DESIGN_P = 0.9     # per-bit agreement the recall budget is designed at
 ANN_CAND_RECALL = 0.9  # candidate recall target at ANN_DESIGN_P
 ANN_MAX_BAND_BITS = 20  # 2^bits buckets per band; past this, selectivity
 #                        gains nothing on any corpus this sandbox holds
-ANN_MAX_BANDS = 8      # linear cost ceiling; at corpus sizes where the bit
-#                        width forces more bands than this to hold the
-#                        recall budget, production raises the ceiling (cost
-#                        is linear in bands) — the clamp keeps the demo
-#                        suite bounded and is documented at the clamp site
+ANN_MAX_BANDS = 16     # linear cost ceiling (round-5: raised from 8 after
+#                        measuring the cost really is linear in bands —
+#                        BENCH/ann_recall_probe.py records signature+join
+#                        wall at 8 vs 16 bands). With 16 bands the design
+#                        recall holds >= ANN_CAND_RECALL through bits=18
+#                        (n ~2M at fill 8); past that the clamp degrades
+#                        recall OBSERVABLY: ann_cand_geometry logs the
+#                        effective value and ann_design_recall() exposes it
+#                        (round-4 ADVICE: never silent).
+
+
+def ann_design_recall(bands: int, bits: int, p: float = ANN_DESIGN_P) -> float:
+    """Effective candidate-recall the (bands, bits) geometry is designed to
+    deliver at per-bit agreement p: 1 - (1 - p^bits)^bands."""
+    return 1.0 - (1.0 - p ** bits) ** bands
 
 
 def ann_cand_geometry(n_vectors: int) -> tuple[int, int]:
@@ -129,8 +139,9 @@ def ann_cand_geometry(n_vectors: int) -> tuple[int, int]:
     band selectivity (bits) grows with n so the EXPECTED bucket fill stays
     at ANN_TARGET_FILL (the round-4 IVF precedent — a fixed 2x8-bit geometry
     measured 77% of rows count-cap-dropped at 20k vectors); the band COUNT
-    then comes from the LSH recall budget 1-(1-p^bits)^bands >= target at
-    the design per-bit agreement. Both clamped (documented above)."""
+    then comes from the LSH recall budget ann_design_recall >= target at
+    the design per-bit agreement. Both clamped (documented above); a
+    binding clamp is logged with the degraded effective recall."""
     import math
 
     bits = max(
@@ -140,7 +151,18 @@ def ann_cand_geometry(n_vectors: int) -> tuple[int, int]:
     bits = min(bits, ANN_MAX_BAND_BITS)
     p_band = ANN_DESIGN_P ** bits
     bands = math.ceil(math.log(1.0 - ANN_CAND_RECALL) / math.log(1.0 - p_band))
-    return max(2, min(bands, ANN_MAX_BANDS)), bits
+    bands = max(2, min(bands, ANN_MAX_BANDS))
+    eff = ann_design_recall(bands, bits)
+    if eff < ANN_CAND_RECALL:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "ann_cand_geometry: ANN_MAX_BANDS=%d clamp binds at n=%d "
+            "(bits=%d): design recall %.3f < target %.2f — raise the "
+            "ceiling (cost is linear in bands) for full recall",
+            ANN_MAX_BANDS, n_vectors, bits, eff, ANN_CAND_RECALL,
+        )
+    return bands, bits
 
 
 def q_simhash_ann_candidates(emb: DataFrame, n_vectors: int | None = None) -> DataFrame:

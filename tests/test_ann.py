@@ -327,6 +327,25 @@ def test_ann_cand_recall_and_drops_at_derived_geometry(spark):
     assert recall >= 0.8, recall
 
 
+def test_ann_design_recall_exposed_and_clamp_observable(caplog):
+    """The derived band count meets the recall budget everywhere below the
+    ANN_MAX_BANDS clamp (through n~2M at 16 bands), and PAST the clamp the
+    degraded design recall is computable and logged — round-4 ADVICE: the
+    clamp may not silently cut recall."""
+    import logging
+
+    for n in (2_000, 130_000, 2_000_000):
+        bands, bits = knn.ann_cand_geometry(n)
+        assert knn.ann_design_recall(bands, bits) >= knn.ANN_CAND_RECALL, n
+
+    with caplog.at_level(logging.WARNING, logger="relieff_lsh_spark.operators.knn"):
+        bands, bits = knn.ann_cand_geometry(9_000_000)
+    assert bands == knn.ANN_MAX_BANDS and bits == knn.ANN_MAX_BAND_BITS
+    eff = knn.ann_design_recall(bands, bits)
+    assert 0.85 < eff < knn.ANN_CAND_RECALL  # degraded but known (~0.874)
+    assert any("clamp binds" in r.message for r in caplog.records)
+
+
 def test_ivf_multiprobe_recall_vs_brute(spark):
     """Multi-probe IVF recall against the exhaustive pair set: the top-2
     probes per group must recover a solid majority of all cos >= threshold
