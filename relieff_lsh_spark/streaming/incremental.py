@@ -140,17 +140,25 @@ class IncrementalDedup:
         spark: SparkSession,
         cfg: DedupConfig,
         state_dir: str,
-        auto_compact_every: int | None = None,
+        auto_compact_every: int | None = 8,
     ):
         self.spark = spark
         self.cfg = cfg
         self.state_dir = state_dir
         self.checkpoint = os.path.join(state_dir, "_stream_checkpoint")
         self.auto_compact_every = auto_compact_every  # batches between
-        # automatic compactions (None = manual compact() only); compaction
-        # runs between micro-batches on the foreachBatch thread, so readers
-        # never observe a half-swapped state
+        # automatic compactions; compaction runs between micro-batches on
+        # the foreachBatch thread, so readers never observe a half-swapped
+        # state. Round-5: defaults ON (8, the streaming bench's cadence) —
+        # the round-4 merge-log fold only pays off if compaction actually
+        # runs, and a caller who never compacts regresses components() to
+        # a fixpoint over the stream's whole merge history. None is the
+        # explicit opt-out for callers who schedule compact() themselves.
         self.batch_stats: list[dict] = []
+        self._crash_after_table: str | None = None  # test-only fault
+        # injection: compact() raises right after this table's pointer
+        # swap, simulating a crash inside the multi-table swap sequence
+        # (tests pin that the comp_vertices->comp_merges window is safe)
 
     # -- state plumbing ----------------------------------------------------
     def _live_root(self, table: str) -> str:
@@ -546,6 +554,8 @@ class IncrementalDedup:
                 "files_before": n_files_before,
                 "files_after": n_files_after,
             }
+            if self._crash_after_table == table:
+                raise RuntimeError(f"injected crash after {table} compaction")
         return report
 
     # -- stream wiring -----------------------------------------------------

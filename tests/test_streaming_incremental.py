@@ -272,7 +272,10 @@ def test_compaction_preserves_state_and_reduces_files(spark, cfg: DedupConfig,
     part = F.pmod(F.xxhash64("clip_id", F.lit(12345)), F.lit(n_batches))
     batches = [corpus.where(part == i).localCheckpoint() for i in range(n_batches)]
 
-    inc = IncrementalDedup(spark, cfg, str(tmp_path / "state"))
+    # auto-compaction OFF: this test drives compact() manually and asserts
+    # exact pointer versions (the default cadence would add its own cycle)
+    inc = IncrementalDedup(spark, cfg, str(tmp_path / "state"),
+                           auto_compact_every=None)
     for i in range(n_batches - 1):
         inc.process_batch(batches[i], batch_id=i)
 
@@ -333,3 +336,61 @@ def test_compaction_preserves_state_and_reduces_files(spark, cfg: DedupConfig,
     assert inc.signatures().count() == 300
     croot = os.path.join(str(tmp_path / "state"), "_compact", "signatures")
     assert sorted(d for d in os.listdir(croot) if d.startswith("v")) == ["v2"]
+
+
+def test_crash_between_vertex_and_merge_pointer_swaps_is_safe(
+        spark, cfg: DedupConfig, tiny_corpus_dir, tmp_path):
+    """Pins the crash window the merge-log fold's docstring argues is safe
+    (incremental.py module docstring + STATE_TABLES ordering): compaction
+    swaps comp_vertices (labels rewritten to resolved roots) BEFORE
+    comp_merges (log emptied). A crash between the two swaps leaves folded
+    vertex labels next to the unfolded merge log — components() must still
+    be exact there, because re-resolving an already-resolved label through
+    the closure is the identity. Also: a rerun of compact() from that state
+    completes and folds the log."""
+    corpus = spark.read.parquet(os.path.join(tiny_corpus_dir, "corpus.parquet"))
+    n_batches = 6
+    part = F.pmod(F.xxhash64("clip_id", F.lit(12345)), F.lit(n_batches))
+    inc = IncrementalDedup(spark, cfg, str(tmp_path / "state"),
+                           auto_compact_every=None)
+    for i in range(n_batches):
+        inc.process_batch(corpus.where(part == i).localCheckpoint(), batch_id=i)
+    # the window only matters when there IS merge history to fold
+    assert inc._state("comp_merges").count() > 0
+    want = sorted(
+        (r["clip_id"], r["component_id"])
+        for r in inc.components_full_recompute().components.collect()
+    )
+
+    # crash injected right after the comp_vertices pointer swap: vertices
+    # are folded, the merge log is NOT yet emptied
+    inc._crash_after_table = "comp_vertices"
+    with pytest.raises(RuntimeError, match="injected crash"):
+        inc.compact()
+    assert inc._state("comp_merges").count() > 0  # log indeed unfolded
+    crashed = sorted(
+        (r["clip_id"], r["component_id"])
+        for r in inc.components().components.collect()
+    )
+    assert crashed == want  # exact through the idempotent re-resolve
+
+    # recovery: a rerun from the crashed state completes the fold
+    inc._crash_after_table = None
+    inc.compact()
+    folded = inc._state("comp_merges")
+    assert folded is None or folded.count() == 0
+    after = sorted(
+        (r["clip_id"], r["component_id"])
+        for r in inc.components().components.collect()
+    )
+    assert after == want
+
+
+def test_vertex_table_ordered_before_merge_table():
+    """The crash-window safety above depends on comp_vertices being
+    compacted (and its pointer swapped) before comp_merges — make the
+    STATE_TABLES ordering contract explicit instead of positional luck."""
+    from relieff_lsh_spark.streaming.incremental import STATE_TABLES
+
+    order = list(STATE_TABLES)
+    assert order.index("comp_vertices") < order.index("comp_merges")
