@@ -46,15 +46,33 @@ def main() -> None:
     audit: dict[str, dict] = {}
     failures: list[str] = []
 
+    from relieff_lsh_spark.barrier import barrier_capture
+
+    def explain(df) -> str:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
     for name, fn in sorted(entrymod.queries().items()):
         if name == "q_audio_dedup_components":
             continue  # runs a whole pipeline (multiple plans), audited via
             # the CLI job's own metrics instead
-        df = fn(spark, SF_DIR)
-        buf = io.StringIO()
-        with contextlib.redirect_stdout(buf):
-            df.explain("formatted")
-        plan = buf.getvalue()
+        # localCheckpoint barriers truncate the physical plan to 'Scan
+        # ExistingRDD', which silently emptied the column-pruning evidence
+        # for 10 queries (round-4 ADVICE). The audit therefore explains the
+        # final plan PLUS every barrier'd subplan (captured pre-checkpoint),
+        # which together cover the executed plan including its parquet
+        # scans. (Explaining with barriers simply removed is intractable —
+        # the CollapseProject expression-tree explosion the barriers exist
+        # to prevent also blows up plan compilation.)
+        with barrier_capture() as caps:
+            df = fn(spark, SF_DIR)
+            plan = explain(df)
+            plan += "".join(
+                f"\n===== barrier subplan {i} =====\n{explain(c)}"
+                for i, c in enumerate(caps)
+            )
         with open(os.path.join(OUT, f"{name}.txt"), "w") as f:
             f.write(plan)
 
@@ -73,7 +91,14 @@ def main() -> None:
             + plan.count("- Exchange"),
             "parquet_read_schemas": reads,
         }
-        ok = cartesian == 0 and (bnlj == 0 or name in ALLOW_BNLJ)
+        # every driver query except the LibSVM scan reads parquet — an
+        # empty ReadSchema list means the pruning check went vacuous
+        # (round-4 ADVICE), which is itself a failure now
+        ok = (
+            cartesian == 0
+            and (bnlj == 0 or name in ALLOW_BNLJ)
+            and (bool(reads) or name == "q_libsvm_scan")
+        )
         entry["ok"] = ok
         if not ok:
             failures.append(name)

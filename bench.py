@@ -205,6 +205,15 @@ def main() -> None:
                 runs.append((time.time() - t0, pipe))
                 shutil.rmtree(wh, ignore_errors=True)
             dt, pipe = min(runs, key=lambda r: r[0])
+            # median next to min (round-4 ADVICE: min-of-2 + warm-up is a
+            # best-case selection vs earlier rounds' one-shot numbers; keep
+            # both so round-over-round comparisons can pick like-for-like)
+            walls = sorted(r[0] for r in runs)
+            extra["audio_e2e_median"] = round(
+                walls[len(walls) // 2] if len(walls) % 2
+                else (walls[len(walls) // 2 - 1] + walls[len(walls) // 2]) / 2,
+                3,
+            )
             extra["audio_clips_per_sec"] = round(AUDIO_N / dt, 2)
             extra["audio_stage_seconds"] = {
                 s: pipe.metrics[s].get("seconds") for s in
@@ -219,14 +228,25 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
-    print(json.dumps({
+    line = json.dumps({
         "metric": "headline_query_wall_clock",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
         "extra": extra,
-    }))
+    })
+    # The metrics line is the VERY LAST stdout act, after spark.stop():
+    # round 4's driver artifact recorded parsed:null because pyspark daemon
+    # teardown noise (BrokenPipeError tracebacks) printed after the JSON and
+    # pushed it out of the driver's tail window. A file copy survives any
+    # stdout mangling.
+    spark.stop()
+    with open(os.path.join(REPO, "BENCH", "bench_last.json"), "w") as f:
+        f.write(line + "\n")
+    sys.stdout.flush()
+    sys.stderr.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -42,6 +42,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from relieff_lsh_spark.barrier import barrier
 from relieff_lsh_spark.operators.capped import capped_pairs, capped_pairs_sql
 
 K = 5
@@ -127,9 +128,9 @@ def shingle_hashes_expr(tw):
 def _shingled(docs: DataFrame) -> DataFrame:
     """(doc_id, sh): distinct shingle-hash pairs per doc; docs with no
     shingles dropped. The one barrier every text-channel query builds on."""
-    d0 = docs.select(
+    d0 = barrier(docs.select(
         "doc_id", token_word_hashes("text").alias("tw")
-    ).localCheckpoint(eager=False)
+    ), eager=False)
     return d0.select(
         "doc_id", shingle_hashes_expr(F.col("tw")).alias("sh")
     ).where(F.size("sh") > 0)
@@ -189,7 +190,8 @@ def signature_df(docs: DataFrame, keep_shingles: bool = True) -> DataFrame:
         _minhash_expr(
             F.transform(F.col("sh"), lambda s: s["h1"])
         ).alias("mh"),
-    ).localCheckpoint(eager=False)
+    )
+    d3 = barrier(d3, eager=False)
     return d3.select(
         *keep, "mh",
         F.transform(
@@ -311,7 +313,8 @@ def simhash_df(docs: DataFrame) -> DataFrame:
             F.col("sh"), init,
             lambda acc, s: F.zip_with(acc, bitvec(s), lambda a, b: a + b),
         ).alias("ones"),
-    ).localCheckpoint(eager=False)
+    )
+    d2 = barrier(d2, eager=False)
 
     def chunk(b: int):
         terms = [
@@ -367,11 +370,11 @@ def q_dedup_exact(docs: DataFrame) -> DataFrame:
 def q_shingle_stats(docs: DataFrame) -> DataFrame:
     """Per-doc token and distinct-shingle counts (shingle identity = the
     64-bit Horner hash pair, module docstring); all docs reported."""
-    d0 = docs.select(
+    d0 = barrier(docs.select(
         "doc_id",
         F.size(tokens("text")).alias("n_tokens"),
         token_word_hashes("text").alias("tw"),
-    ).localCheckpoint(eager=False)
+    ), eager=False)
     return d0.select(
         "doc_id", "n_tokens",
         F.size(shingle_hashes_expr(F.col("tw"))).alias("n_shingles"),
@@ -444,7 +447,7 @@ def q_jaccard_verify(docs: DataFrame) -> DataFrame:
     # unmaterialized RDD and the query measured 3x slower (25.7s vs 8.0s
     # at sf0.1). The candidates/simhash queries, with 2 consumers, go
     # FASTER without the extra eager store — not a universal rule.
-    sig = signature_df(augmented_docs(docs)).localCheckpoint()
+    sig = barrier(signature_df(augmented_docs(docs)))
     cand = _prefiltered(_candidates_from(sig), sig)
     sh = sig.select("doc_id", "sh")
     return (

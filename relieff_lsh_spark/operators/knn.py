@@ -20,6 +20,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql import Window as W
 
+from relieff_lsh_spark.barrier import barrier
+
 N_QUERIES = 20   # vec_id < 20 are the query set
 TOP_K = 5
 NEARDUP_MIN_COS = 0.30
@@ -220,15 +222,15 @@ def _ann_band_sigs(
             out[:, b] = bits[:, b * band_bits:(b + 1) * band_bits] @ pow2
         return pd.Series(list(out))
 
-    return (
+    sigs = (
         emb.select("vec_id", vq.alias("vq"))
         .select("vec_id", band_hashes("vq").alias("bh"))
         .select(
             "vec_id", F.posexplode("bh").alias("band_id", "band_hash")
         )
-        .localCheckpoint()  # evaluate the signature UDF once, not on
-        # every side of the downstream self-join
     )
+    return barrier(sigs)  # evaluate the signature UDF once, not on
+    # every side of the downstream self-join
 
 
 ANN_TOPK_BAND_BITS = 4  # 4 bands x 4 bits: recall-oriented probe geometry;
@@ -517,7 +519,7 @@ def q_ivf_ann_pairs(
         sample = ivf_sample_spark(emb, n)
     D, n2 = train_ivf_directions(sample, groups, dirs)
     keys = [f"c{g}" for g in range(groups)]
-    asg = _ivf_assignments(emb, groups, dirs, D, n2).localCheckpoint()
+    asg = barrier(_ivf_assignments(emb, groups, dirs, D, n2))
     primary = asg.where(F.col("is_primary"))
     counts = primary.groupBy(*keys).agg(F.count("*").alias("cell_n"))
     kept_primary = (
@@ -606,17 +608,16 @@ def _ivf_assignments(
                 out[:, base + P] = 0
         return pd.Series(list(out))
 
-    out = (
+    out = barrier(
         emb.select("vec_id", vq.alias("vq"))
-        .select("vec_id", plane_pkm("vq").alias("pkm"))
-        .localCheckpoint(eager=False)
-        .select(
-            "vec_id",
-            *[F.slice("pkm", g * (P + 1) + 1, P).alias(f"pk{g}")
-              for g in range(groups)],
-            *[F.element_at("pkm", g * (P + 1) + P + 1).alias(f"m{g}")
-              for g in range(groups)],
-        )
+        .select("vec_id", plane_pkm("vq").alias("pkm")),
+        eager=False,
+    ).select(
+        "vec_id",
+        *[F.slice("pkm", g * (P + 1) + 1, P).alias(f"pk{g}")
+          for g in range(groups)],
+        *[F.element_at("pkm", g * (P + 1) + P + 1).alias(f"m{g}")
+          for g in range(groups)],
     )
     # pk/m are cheap O(1) reads of the materialized pkm attribute, so the
     # multi-reference budget expressions below need no further barrier

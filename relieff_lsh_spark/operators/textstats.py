@@ -8,6 +8,7 @@ matching DuckDB oracle SQL string (value-identical by construction).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from relieff_lsh_spark.barrier import barrier
 from pyspark.sql import functions as F
 
 from relieff_lsh_spark.operators.dedup_docs import (
@@ -92,9 +93,9 @@ def q_doc_fingerprint(docs: DataFrame) -> DataFrame:
     overflow int64, so the fingerprint is the PAIR-lexicographic min/max,
     carried as its two words (struct ordering is field-lexicographic in
     both engines)."""
-    d0 = docs.select(
+    d0 = barrier(docs.select(
         "doc_id", token_word_hashes("text").alias("tw")
-    ).localCheckpoint(eager=False)
+    ), eager=False)
     sh = d0.select(
         "doc_id", shingle_hashes_expr(F.col("tw")).alias("sh")
     ).where(F.size("sh") > 0)

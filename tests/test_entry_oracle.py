@@ -50,6 +50,21 @@ def _value_hash(cols, rows) -> str:
 ORACLES = entrymod.oracle_sql()
 QUERIES = entrymod.queries()
 
+# Data-derived oracles: oracle_sql() generates them for the DRIVER's gate
+# tables (sf0.01). This test runs at sf0.001, so regenerate them for its
+# tables — the IVF oracle embeds centroids TRAINED on the table's own data
+# (round-5), not just constants derived from its row count.
+import pyarrow.parquet as pq  # noqa: E402
+
+from relieff_lsh_spark.operators import knn  # noqa: E402
+
+_EMB = f"{SF_DIR}/embeddings.parquet"
+_N_EMB = int(pq.ParquetFile(_EMB).metadata.num_rows)
+ORACLES["q_ivf_ann_pairs"] = knn.ivf_sql(
+    _N_EMB, knn.ivf_sample_parquet(_EMB, _N_EMB)
+)
+ORACLES["q_simhash_ann_candidates"] = knn.ann_sql(_N_EMB)
+
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(spark, name):
