@@ -14,8 +14,18 @@ corpus (every band bucket 10x hot) instead of 10x the volume:
     shifted by r * VOCAB_STEP mod |V|). Within a replica the duplicate
     structure of the original corpus is preserved EXACTLY (token mapping is
     a bijection, so shingle-set relations are isomorphic); across replicas
-    no k-shingle is shared (any shared shingle needs K consecutive equal
-    tokens, and the per-replica shifts differ everywhere — asserted below).
+    shingle sharing is SMALL but not zero — the round-4 docstring claimed
+    zero on the strength of a shift-has-no-fixed-point assert, and the
+    round-4 ADVICE was right to call that vacuous: an explicit intersection
+    check (below) MEASURES ~0.8% of a replica's shingles shared with each
+    other replica (~7.2% cumulative at replica 9 — repeated-token windows
+    whose indices differ by exactly the inter-replica delta). What actually
+    protects the bench corpus's duplicate structure is the per-document
+    bound, asserted for real after building: no document has more than 50%
+    of its shingles present in other replicas (measured max exactly 0.50),
+    so no cross-replica pair can reach the 0.8-Jaccard verify threshold —
+    cross-replica rows make stray band CANDIDATES only, never verified
+    duplicates.
   * embeddings, replica r: vec_id += r * ID_STRIDE, embedding components
     rotated by r positions (np.roll), label += r * LABEL_STRIDE. Rotation
     preserves norms and within-replica cosines exactly; labels are offset so
@@ -67,8 +77,14 @@ def build_documents(out_dir: str) -> int:
         assert (r * VOCAB_STEP) % v != 0, "replica shift has a fixed point"
 
     ids, texts, langs, sources, n_chars = [], [], [], [], []
+    K = 5  # dedup_docs.K — the shingle width the disjointness claim is about
+    JACCARD_MIN = 0.8  # dedup_docs verify threshold the bound must clear
+    rep_sets: list[set] = []       # per-replica shingle-hash sets
+    doc_sets: list[list[set]] = []  # per-replica per-doc shingle-hash sets
     for r in range(REPLICAS):
         shift = (r * VOCAB_STEP) % v
+        replica_shingles: set = set()
+        replica_docs: list[set] = []
         for i, toks in enumerate(token_lists):
             if shift == 0:
                 s = text[i]
@@ -82,6 +98,36 @@ def build_documents(out_dir: str) -> int:
             langs.append(lang[i])
             sources.append(source[i])
             n_chars.append(len(s))
+            words = [w for w in s.split(" ") if w]
+            sh = {
+                hash(tuple(words[j:j + K])) for j in range(len(words) - K + 1)
+            }
+            replica_docs.append(sh)
+            replica_shingles |= sh
+        seen = set().union(*rep_sets) if rep_sets else set()
+        overlap = replica_shingles & seen
+        if overlap:
+            print(f"  replica {r}: {len(overlap)} shingles shared with "
+                  f"earlier replicas ({len(overlap) / len(replica_shingles):.2%})"
+                  " — candidates-only noise, bounded below")
+        rep_sets.append(replica_shingles)
+        doc_sets.append(replica_docs)
+    # The check that protects the bench claim (docstring): no document can
+    # verify against ANY cross-replica document, because cross-replica
+    # Jaccard is bounded by the fraction of the doc's shingles present in
+    # other replicas at all — assert that stays under the verify threshold.
+    worst = 0.0
+    for r in range(REPLICAS):
+        other = set().union(*(rep_sets[s] for s in range(REPLICAS) if s != r))
+        for sh in doc_sets[r]:
+            if sh:
+                worst = max(worst, len(sh & other) / len(sh))
+    print(f"  max per-doc cross-replica shingle fraction: {worst:.3f} "
+          f"(verify threshold {JACCARD_MIN})")
+    assert worst < JACCARD_MIN, (
+        f"a document shares {worst:.2%} of its shingles across replicas — "
+        "cross-replica pairs could verify; duplicate structure broken"
+    )
     out = pa.table({
         "doc_id": pa.array(ids, pa.int64()),
         "text": pa.array(texts, pa.string()),

@@ -192,29 +192,43 @@ def pair_recall(result: DataFrame, oracle: DataFrame) -> dict:
     table — n*(n-1)/2 arithmetic on group sizes, never materializing pairs
     (scales to huge components).
 
-    Both inputs: (clip_id, component_id)."""
+    Both inputs: (clip_id, component_id). ONE Spark action (round-4 ADVICE:
+    the old three collects ran the contingency join three times, and this
+    runs inside every e2e test): the full-outer contingency table is built
+    once behind a lazy checkpoint, and the three aggregates — agree pairs
+    over both-labeled cells, oracle pairs over all oracle-labeled rows,
+    result pairs over all result-labeled rows — collect as one 1-row
+    cross-join."""
     o = oracle.select("clip_id", F.col("component_id").alias("oc"))
     r = result.select("clip_id", F.col("component_id").alias("rc"))
     cell = (
-        o.join(r, "clip_id")
+        o.join(r, "clip_id", "full")
         .groupBy("oc", "rc")
         .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)
     )
-    pairs = F.col("n") * (F.col("n") - 1) / 2
-    both = cell.agg(F.sum(pairs)).collect()[0][0] or 0.0
-    o_pairs_expr = F.col("n") * (F.col("n") - 1) / 2
-    o_pairs = (
-        o.groupBy("oc").agg(F.count("*").alias("n")).agg(F.sum(o_pairs_expr)).collect()[0][0]
-        or 0.0
+    pairs = F.sum(F.col("n") * (F.col("n") - 1) / 2)
+    both_df = cell.where(
+        F.col("oc").isNotNull() & F.col("rc").isNotNull()
+    ).agg(pairs.alias("agree"))
+    o_df = (
+        cell.where(F.col("oc").isNotNull())
+        .groupBy("oc").agg(F.sum("n").alias("n"))
+        .agg(pairs.alias("op"))
     )
-    r_pairs = (
-        r.groupBy("rc").agg(F.count("*").alias("n")).agg(F.sum(o_pairs_expr)).collect()[0][0]
-        or 0.0
+    r_df = (
+        cell.where(F.col("rc").isNotNull())
+        .groupBy("rc").agg(F.sum("n").alias("n"))
+        .agg(pairs.alias("rp"))
     )
+    row = both_df.crossJoin(o_df).crossJoin(r_df).collect()[0]
+    both = float(row["agree"] or 0.0)
+    o_pairs = float(row["op"] or 0.0)
+    r_pairs = float(row["rp"] or 0.0)
     return {
-        "agree_pairs": float(both),
-        "oracle_pairs": float(o_pairs),
-        "result_pairs": float(r_pairs),
-        "recall": float(both) / float(o_pairs) if o_pairs else 1.0,
-        "precision": float(both) / float(r_pairs) if r_pairs else 1.0,
+        "agree_pairs": both,
+        "oracle_pairs": o_pairs,
+        "result_pairs": r_pairs,
+        "recall": both / o_pairs if o_pairs else 1.0,
+        "precision": both / r_pairs if r_pairs else 1.0,
     }

@@ -107,3 +107,43 @@ def test_checkpoint_cadence_odd_interval(spark, tmp_path):
     )
     assert not res.converged  # path-40 needs more than 4 rounds
     assert os.path.exists(os.path.join(ckpt, "round_4", "_SUCCESS"))
+
+
+def test_long_path_converges_within_round_cap(spark):
+    """Adversarial diameter (round-4 VERDICT optional #7): a path graph of
+    diameter 400 >> max_iters=25. Plain min-label propagation needs
+    O(diameter) rounds and would hit the cap unconverged — the round-2
+    defect class. The star algorithm's O(log n) contraction must converge
+    well inside the cap and label every vertex with the global minimum."""
+    n = 401
+    ids = [f"p{i:04d}" for i in range(n)]
+    e = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(n - 1)], ["a", "b"]
+    )
+    v = spark.createDataFrame([(x,) for x in ids], ["clip_id"])
+    res = connected_components(e, v)
+    assert res.converged
+    assert res.iterations <= 25, res.iterations
+    got = {(r["clip_id"], r["component_id"]) for r in res.components.collect()}
+    assert got == {(x, ids[0]) for x in ids}
+
+
+def test_pair_recall_disjoint_vertex_sets(spark):
+    """pair_recall semantics under vertex-set mismatch (pins the one-job
+    full-outer rewrite): oracle-only clips still count toward oracle_pairs
+    (missed -> recall loss) and result-only clips toward result_pairs
+    (precision loss), exactly as the old per-side aggregates did."""
+    oracle = spark.createDataFrame(
+        [("x1", "g"), ("x2", "g"), ("x3", "g")], ["clip_id", "component_id"]
+    )
+    # result knows x1/x2 (same group) but never saw x3; adds y1/y2 pair
+    result = spark.createDataFrame(
+        [("x1", "g"), ("x2", "g"), ("y1", "h"), ("y2", "h")],
+        ["clip_id", "component_id"],
+    )
+    m = pair_recall(result, oracle)
+    assert m["oracle_pairs"] == 3.0   # C(3,2) — x3 still counted
+    assert m["result_pairs"] == 2.0   # C(2,2)=1 + C(2,2)=1 — y pair counted
+    assert m["agree_pairs"] == 1.0    # only (x1,x2) agreed
+    assert m["recall"] == 1.0 / 3.0
+    assert m["precision"] == 0.5
