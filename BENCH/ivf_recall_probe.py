@@ -26,7 +26,8 @@ train_ivf_directions; IVF_MAX_DIRS=256):
   n=50000  -> (2,80):  recall on planted 0.9892, cap drops 0 buckets/0 rows
               (the n where the old clamp bound; round-5 gate was >= 0.95
               with ~zero drops)
-  n=200000 -> (2,159): recall on planted 0.9643
+  n=200000 -> (2,159): recall on planted 0.9643, cap drops 0/0
+              (re-measured at round-5 final HEAD, bit-identical recall)
   sf1x diffuse pairs (cos 0.3-0.7, outside the dedup contract): unchanged
   character — low by design; see population notes above
 
