@@ -62,6 +62,26 @@ def _burn(_):
     return x
 
 
+def _membw_gbps(size_mb: int = 512) -> float:
+    """Single-threaded numpy-copy bandwidth. Detects the bandwidth-only host
+    degradation mode the pure-CPU spin probe misses (observed 2026-08-18:
+    spin clean at ~1.55s while a large copy read 0.03-0.25 GB/s)."""
+    import numpy as np
+
+    n = size_mb * 1024 * 1024 // 8
+    src = np.ones(n, dtype=np.float64)
+    dst = np.full(n, 0.0, dtype=np.float64)  # full() touches pages; zeros()
+    # is lazy calloc and would charge page faults to the timed copy
+    best = 0.0
+    for _ in range(2):  # best-of-2: single-copy readings swing ~5x even on a
+        # quiet host; the degraded mode is 10-50x below clean, so max is safe
+        t0 = time.time()
+        dst[:] = src
+        dt = max(time.time() - t0, 1e-6)
+        best = max(best, size_mb / 1024 / dt)
+    return round(best, 2)
+
+
 def _host_ceiling() -> dict:
     """Pure-CPU aggregate speedup LO -> HI procs: the efficiency any
     workload could at best show on this (shared) host."""
@@ -139,6 +159,7 @@ def _run(corpus: str, cpus: int, zpath: str, tag: str) -> dict:
     ]
     import resource
 
+    membw_pre = _membw_gbps()
     ru0 = resource.getrusage(resource.RUSAGE_CHILDREN)
     s0, t0j = _cpu_jiffies()
     t0 = time.time()
@@ -158,6 +179,11 @@ def _run(corpus: str, cpus: int, zpath: str, tag: str) -> dict:
         m = json.load(f)
     m["launch_wall_seconds"] = launch_wall  # incl. JVM startup, for context
     m["steal_pct"] = round(100.0 * (s1 - s0) / max(t1j - t0j, 1), 2)
+    # pre-run memory-copy bandwidth: the spin probe's blind spot — the host
+    # bus can be saturated (Spark walls 1.2-2.25x slow, uniformly) while CPU
+    # steal reads zero; < 1 GB/s here disqualifies the WALL reading (the
+    # lo/hi RATIO survives since both legs see the same bus).
+    m["membw_gbps_pre"] = membw_pre
     # process-tree CPU core-seconds (usr+sys): a noise-resistant secondary
     # metric — wall clock on this shared VM varies up to 5x run-to-run.
     m["cpu_core_seconds"] = round(
