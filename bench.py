@@ -142,6 +142,23 @@ def _wait_for_quiet_host(extra: dict, max_wait_sec: float = 180.0) -> None:
     extra["host_probes"] = probes
 
 
+def _release_query_state(spark) -> None:
+    """Unpersist every persistent RDD left by the query that just finished
+    (eager/lazy localCheckpoint stores). The suite's queries are independent
+    — in production each runs as its own job with storage-backed snapshots
+    (sources/catalog.py) — but the shared bench session accumulates every
+    query's checkpoint blocks in the one unified memory pool, and at the
+    100x SF (sf10x) the leftovers crowded it until AQE broadcast builds
+    failed mid-suite ("Not enough memory to build and broadcast"; the same
+    query passes alone in a fresh session). gc first so no live py-side
+    plan still references the blocks being dropped."""
+    import gc
+
+    gc.collect()
+    for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        rdd.unpersist(False)
+
+
 def main() -> None:
     from relieff_lsh_spark.session import get_spark
 
@@ -180,6 +197,7 @@ def main() -> None:
         qmap[warm_name](spark, SF_DIR).write.format("noop").mode(
             "overwrite"
         ).save()
+        _release_query_state(spark)
 
     for name in names:
         t0 = time.time()
@@ -250,6 +268,8 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
         timings[name] = round(dt, 3)
+        print(f"[bench] {name} {dt:.1f}s", file=sys.stderr, flush=True)
+        _release_query_state(spark)
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
