@@ -28,6 +28,9 @@ train_ivf_directions; IVF_MAX_DIRS=256):
               with ~zero drops)
   n=200000 -> (2,159): recall on planted 0.9643, cap drops 0/0
               (re-measured at round-5 final HEAD, bit-identical recall)
+  n=1000000 -> (3,50): recall on planted 0.9238, cap drops 0/0 — the
+              groups=2->3 transition (125k cells > 256^2); see
+              BENCH/BASELINE.md "Round-5 IVF recall" for the reading
   sf1x diffuse pairs (cos 0.3-0.7, outside the dedup contract): unchanged
   character — low by design; see population notes above
 
