@@ -28,9 +28,15 @@ train_ivf_directions; IVF_MAX_DIRS=256):
               with ~zero drops)
   n=200000 -> (2,159): recall on planted 0.9643, cap drops 0/0
               (re-measured at round-5 final HEAD, bit-identical recall)
-  n=1000000 -> (3,50): recall on planted 0.9238, cap drops 0/0 — the
-              groups=2->3 transition (125k cells > 256^2); see
-              BENCH/BASELINE.md "Round-5 IVF recall" for the reading
+  n=1000000 -> measured three ways (the decision trail that set the
+              round-5 geometry rules; BENCH/BASELINE.md "Round-5 IVF
+              recall" has the full reading):
+                (3,50)  budget 9 (IVF_MAX_DIRS=256): 0.9238 — the
+                        groups=2->3 product-transition step-down
+                (2,354) budget 9 (MAX_DIRS=512 + dirs-scaled sample):
+                        0.9419
+                (2,354) budget 16 (nprobe +1 per dirs doubling past
+                        256): 0.9763, cap drops 2 buckets/131 rows
   sf1x diffuse pairs (cos 0.3-0.7, outside the dedup contract): unchanged
   character — low by design; see population notes above
 

@@ -13,6 +13,8 @@ DuckDB oracle (list_dot_product on DOUBLE[]) matches bit-for-bit.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -294,13 +296,19 @@ IVF_PROBES = 3    # multi-probe: each vector is assigned to its top-P
 #                   directions per group (P^G composite probes), so boundary
 #                   pairs still co-probe
 IVF_CELL_CAP = 64  # in-cell skew cap (count-filtered, SQL-replayable)
-IVF_MAX_DIRS = 256  # per-group centroid ceiling. Round-5: the coarse
+IVF_MAX_DIRS = 512  # per-group centroid ceiling. Round-5: the coarse
 #                   quantizer is TRAINED (product k-means over a
-#                   deterministic data sample, train_ivf_directions), so the
-#                   ceiling is set by training statistics — 256 centroids
-#                   from a 4096-row sample is 16 points/centroid — not by
-#                   the old +/-1 plane family's code balance. dirs^groups
-#                   cells with groups<=3 covers n up to ~134M at
+#                   deterministic data sample, train_ivf_directions), and
+#                   the training sample SCALES with dirs
+#                   (ivf_train_sample_size keeps >= IVF_TRAIN_PTS_PER_CENTROID
+#                   points per centroid), so the ceiling is the sample-size
+#                   budget (16*512 = 8192 <= IVF_TRAIN_SAMPLE_MAX), not the
+#                   old +/-1 plane family's code balance. Raised 256 -> 512
+#                   after the n=1M probe measured the groups=2->3 recall
+#                   step-down (0.9643 -> 0.9238): fewer product groups means
+#                   fewer independent codes a near-dup pair must agree in,
+#                   so groups=2 is held to 512^2*fill ~ 2.1M vectors;
+#                   dirs^groups with groups<=3 covers n up to ~1.07e9 at
 #                   IVF_TARGET_FILL=8 before any clamp binds.
 IVF_MAX_GROUPS = 3  # probe multiplicity is bounded separately
 #                   (IVF_PROBE_GROUPS); groups is clamped because each
@@ -348,7 +356,7 @@ def ivf_geometry(n_vectors: int) -> tuple[int, int]:
 # 534-536); here that is a deterministic product k-means:
 #
 #   * sample: every vec_id % stride == 0 row, vec_id order, first
-#     IVF_TRAIN_SAMPLE — a rule both engines (and both read paths: Spark
+#     ivf_train_sample_size(n) — a rule both engines (and both read paths: Spark
 #     collect / pyarrow footer read) reproduce bit-identically, because
 #     float32 parquet values widen exactly to float64 either way.
 #   * product structure: the 64 dims split into `groups` contiguous blocks
@@ -367,25 +375,42 @@ def ivf_geometry(n_vectors: int) -> tuple[int, int]:
 # argmax of the exact integer score 2*(vq.cq) - |cq|^2, ties to the lower
 # direction index.
 
-IVF_TRAIN_SAMPLE = 4096   # sample rows the quantizer trains on
+IVF_TRAIN_SAMPLE = 4096   # sample-row FLOOR the quantizer trains on
+IVF_TRAIN_PTS_PER_CENTROID = 16  # sample grows with dirs so k-means never
+#                           trains more centroids than the sample supports
+IVF_TRAIN_SAMPLE_MAX = 16384  # driver-collect ceiling (16384 x 64 float64
+#                           = 8 MB — the reference's side-table tier)
 IVF_KMEANS_ITERS = 20     # fixed Lloyd iteration budget (early-stops on
 #                           centroid fixpoint; determinism needs a bound,
 #                           not convergence)
 
 
+def ivf_train_sample_size(n_vectors: int) -> int:
+    """Training-sample rows for a corpus of n_vectors: the floor, or
+    IVF_TRAIN_PTS_PER_CENTROID per trained centroid once the derived dirs
+    outgrows the floor (dirs > 256), capped at the driver-collect ceiling.
+    A pure function of n on both engines, so the sampling paths stay
+    bit-identical."""
+    _, dirs = ivf_geometry(n_vectors)
+    return min(
+        IVF_TRAIN_SAMPLE_MAX,
+        max(IVF_TRAIN_SAMPLE, IVF_TRAIN_PTS_PER_CENTROID * dirs),
+    )
+
+
 def ivf_sample_stride(n_vectors: int) -> int:
-    return max(1, n_vectors // IVF_TRAIN_SAMPLE)
+    return max(1, n_vectors // ivf_train_sample_size(n_vectors))
 
 
 def ivf_sample_spark(emb: DataFrame, n_vectors: int) -> np.ndarray:
-    """Deterministic training sample via Spark: (IVF_TRAIN_SAMPLE x dim)
-    float64. A bounded driver collect (<= 4096 rows x 64 floats), the same
-    tier as the reference's driver-side side tables (R:233-234)."""
+    """Deterministic training sample via Spark: (ivf_train_sample_size(n)
+    x dim) float64. A bounded driver collect (<= 16384 rows x 64 floats),
+    the same tier as the reference's driver-side side tables (R:233-234)."""
     stride = ivf_sample_stride(n_vectors)
     rows = (
         emb.where(F.col("vec_id") % stride == 0)
         .orderBy("vec_id")
-        .limit(IVF_TRAIN_SAMPLE)
+        .limit(ivf_train_sample_size(n_vectors))
         .select(F.col("embedding").cast("array<double>").alias("v"))
         .collect()
     )
@@ -404,7 +429,7 @@ def ivf_sample_parquet(path: str, n_vectors: int | None = None) -> np.ndarray:
     n = int(n_vectors) if n_vectors is not None else len(vid)
     stride = ivf_sample_stride(n)
     keep = np.flatnonzero(vid % stride == 0)
-    keep = keep[np.argsort(vid[keep], kind="stable")][:IVF_TRAIN_SAMPLE]
+    keep = keep[np.argsort(vid[keep], kind="stable")][:ivf_train_sample_size(n)]
     emb = t["embedding"].combine_chunks()
     flat = np.asarray(emb.values, dtype=np.float64)
     dim = len(flat) // len(vid)
@@ -477,10 +502,17 @@ def _ivf_probe_width(groups: int, dirs: int) -> int:
     """Per-group probe count for budgeted groups: top-IVF_PROBES directions,
     except flat (groups=1) geometry spends the whole composite budget
     IVF_PROBES^IVF_PROBE_GROUPS in its single group — composite probes per
-    vector stay <= that budget in every geometry."""
+    vector stay <= that budget in every geometry. Past 256 directions per
+    group the width grows by one per doubling (standard IVF: nprobe scales
+    with the cell count, else constant-fill cell shrink decays recall — the
+    n=1M probe measured 0.9419 at fixed top-3 vs 0.9643 at n=200k); the
+    growth is log2, so the composite budget stays polylog in n. A pure
+    function of (groups, dirs), shared by the Spark plan and the generated
+    DuckDB oracle (ivf_sql), so cross-engine exactness survives the rule."""
     if groups == 1:
         return min(dirs, IVF_PROBES ** IVF_PROBE_GROUPS)
-    return min(IVF_PROBES, dirs)
+    extra = max(0, math.ceil(math.log2(dirs / 256))) if dirs > 256 else 0
+    return min(IVF_PROBES + extra, dirs)
 
 
 def q_ivf_ann_pairs(

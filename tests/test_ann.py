@@ -167,7 +167,7 @@ def test_ivf_probe_budget_recall_at_three_groups(spark):
     probes stay <= IVF_PROBES^IVF_PROBE_GROUPS per vector (margin-budgeted
     multi-probe: only the least-confident groups fan out) and recall over
     planted same-cluster pairs stays solid. With the trained quantizer's
-    IVF_MAX_DIRS the DERIVED geometry only reaches 3 groups past ~500k
+    IVF_MAX_DIRS the DERIVED geometry only reaches 3 groups past ~2.1M
     vectors, so the budget check forces groups=3 directly; the recall check
     runs the derived geometry."""
     import itertools
