@@ -78,13 +78,16 @@ def main() -> None:
         pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
     )
     groups, dirs = knn.ivf_geometry(n)
-    print(f"n={n} geometry=({groups},{dirs}) "
-          f"probe_width={knn._ivf_probe_width(groups, dirs)} "
-          f"budget={knn.IVF_PROBES}^{knn.IVF_PROBE_GROUPS}")
-    got = {
-        (r["a"], r["b"])
-        for r in knn.q_ivf_ann_pairs(emb, n_vectors=n).collect()
-    }
+    width = knn._ivf_probe_width(groups, dirs)
+    print(f"n={n} geometry=({groups},{dirs}) probe_width={width} "
+          f"budget={width}^{min(groups, knn.IVF_PROBE_GROUPS)}")
+    # recall is computed DISTRIBUTIVELY (join vs the planted-pair table,
+    # collect only counters): at n=2.2M the pair set is ~80M rows and a
+    # driver collect broke spark.driver.maxResultSize — the probe now obeys
+    # the repo's own no-data-collect rule.
+    got_df = knn.q_ivf_ann_pairs(emb, n_vectors=n).select("a", "b")
+    got_df = got_df.localCheckpoint(eager=True)  # one evaluation, two counts
+    n_got = got_df.count()
 
     # counted cap drops on the trained primary-cell structure — the round-5
     # "~zero drops at the n where the old clamp bound" evidence
@@ -104,7 +107,7 @@ def main() -> None:
           f"rows={stats['dropped_rows']} of n={n}")
 
     vecs = np.array([r[1] for r in rows], dtype=np.float64)
-    want, cos_list = set(), []
+    want, cos_list = [], []
     for c in range(n_clusters):
         ids = list(range(c * MEMBERS, c * MEMBERS + MEMBERS))
         sub = vecs[ids]
@@ -112,12 +115,15 @@ def main() -> None:
         s = np.round(sub @ sub.T, 6)
         for i, j in itertools.combinations(range(MEMBERS), 2):
             if s[i, j] >= knn.IVF_MIN_COS:
-                want.add((ids[i], ids[j]))
+                want.append((ids[i], ids[j]))
                 cos_list.append(s[i, j])
-    inter = len(got & want)
+    want_df = spark.createDataFrame(
+        pd.DataFrame(want, columns=["a", "b"]).astype("int64")
+    )
+    inter = got_df.join(want_df, ["a", "b"], "inner").count()
     print(f"planted pairs>=thr: {len(want)} median_cos: "
           f"{float(np.median(cos_list)):.4f}")
-    print(f"ivf pairs: {len(got)} recall_on_planted: {inter / len(want):.4f}")
+    print(f"ivf pairs: {n_got} recall_on_planted: {inter / len(want):.4f}")
 
 
 if __name__ == "__main__":

@@ -318,6 +318,11 @@ IVF_TARGET_FILL = IVF_CELL_CAP // 8  # expected PRIMARY rows per cell the
 #                   geometry aims for: 8x headroom under the cap absorbs
 #                   data clustering (measured: a 64-cell space at sf0.001
 #                   had 41 cells OVER cap from label clustering)
+IVF_FILL_SLACK = 2  # how far past IVF_TARGET_FILL expected fill may drift
+#                   before the geometry adds a product group (see
+#                   ivf_geometry docstring — a group costs ~4 recall
+#                   points, measured; doubled fill costs 2x candidate
+#                   pairs and stays 4x under the cap)
 IVF_PROBE_GROUPS = 2  # multi-probe budget: only the IVF_PROBE_GROUPS groups
 #                   with the SMALLEST top1-top2 dot margin (the least
 #                   confident assignments — where a boundary miss is likely)
@@ -336,14 +341,25 @@ def ivf_geometry(n_vectors: int) -> tuple[int, int]:
     probe side multiplies) at or under IVF_TARGET_FILL. This is the round-3
     "production derives the geometry from n" note made real: the cell count
     GROWS with n, so in-cell verify work stays bounded per cell instead of
-    reverting to Θ(n²/cells) with a fixed cell space."""
-    import math
+    reverting to Θ(n²/cells) with a fixed cell space.
 
+    Adding a product group is recall-expensive (the n=1M probe measured the
+    2->3 transition at -4 recall points: a pair must co-probe in one more
+    INDEPENDENT code), so before adding one the rule accepts dirs capped at
+    IVF_MAX_DIRS as long as expected fill stays within IVF_FILL_SLACK x
+    target — fill 16 is still 4x under the cap, and candidate pairs grow
+    only linearly in fill (cells x fill^2 = n x fill). groups=2 therefore
+    holds to IVF_MAX_DIRS^2 x target x slack ~ 4.2M vectors; past that the
+    named production fix is a larger training budget or hierarchical
+    coarse training, not more product groups."""
     needed = max(2, math.ceil(n_vectors / IVF_TARGET_FILL))
     for groups in range(1, IVF_MAX_GROUPS + 1):
         dirs = math.ceil(needed ** (1.0 / groups))
         if dirs <= IVF_MAX_DIRS:
             return groups, max(dirs, 2)
+        fill = n_vectors / (IVF_MAX_DIRS ** groups)
+        if fill <= IVF_TARGET_FILL * IVF_FILL_SLACK:
+            return groups, IVF_MAX_DIRS
     return IVF_MAX_GROUPS, IVF_MAX_DIRS
 
 

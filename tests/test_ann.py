@@ -114,6 +114,38 @@ def test_ivf_multiprobe_assignments_shape(spark):
     assert [r["count"] for r in prim] == [1]
 
 
+def test_ivf_geometry_rules_at_scale():
+    """Pure-function pins for the round-5 geometry rules (each measured at
+    n=1M, BENCH/BASELINE.md 'Round-5 IVF recall'): (a) groups=2 holds
+    through the old 2->3 transition via IVF_MAX_DIRS=512 and then via
+    bounded fill slack — adding a product group measured ~4 recall points;
+    (b) the training sample scales with dirs (>= IVF_TRAIN_PTS_PER_CENTROID
+    points per centroid) so the wider codes stay trainable; (c) nprobe
+    grows one per dirs doubling past 256 so constant-fill cell shrink does
+    not decay recall. Every n <= 524288 is pinned bit-unchanged — recorded
+    artifacts and oracle literals at the bench SFs depend on that."""
+    # (pre-round-5-late values: unchanged below the old MAX_DIRS ceiling)
+    assert knn.ivf_geometry(524288) == (2, 256)
+    assert knn.ivf_train_sample_size(524288) == knn.IVF_TRAIN_SAMPLE
+    assert knn._ivf_probe_width(2, 256) == knn.IVF_PROBES
+    # (a) two product groups held through the measured decade and the slack
+    assert knn.ivf_geometry(1_000_000) == (2, 354)
+    assert knn.ivf_geometry(2_200_000) == (2, knn.IVF_MAX_DIRS)
+    fill = 2_200_000 / knn.IVF_MAX_DIRS ** 2
+    assert fill <= knn.IVF_TARGET_FILL * knn.IVF_FILL_SLACK
+    groups_5m, _ = knn.ivf_geometry(5_000_000)  # past the slack boundary
+    assert groups_5m == 3
+    # (b) sample keeps >= the per-centroid floor at the widest code
+    assert (
+        knn.ivf_train_sample_size(2_200_000)
+        >= knn.IVF_TRAIN_PTS_PER_CENTROID * knn.IVF_MAX_DIRS
+    )
+    # (c) nprobe growth is monotone and polylog
+    assert knn._ivf_probe_width(2, 354) == knn.IVF_PROBES + 1
+    assert knn._ivf_probe_width(2, 512) == knn.IVF_PROBES + 1
+    assert knn._ivf_probe_width(2, 1024) == knn.IVF_PROBES + 2
+
+
 def test_ivf_geometry_scales_with_n(spark):
     """ivf_geometry derives the cell structure from the corpus size (bigger
     corpus -> more cells), and q_ivf_ann_pairs matches its generated DuckDB
@@ -167,7 +199,7 @@ def test_ivf_probe_budget_recall_at_three_groups(spark):
     probes stay <= IVF_PROBES^IVF_PROBE_GROUPS per vector (margin-budgeted
     multi-probe: only the least-confident groups fan out) and recall over
     planted same-cluster pairs stays solid. With the trained quantizer's
-    IVF_MAX_DIRS the DERIVED geometry only reaches 3 groups past ~2.1M
+    IVF_MAX_DIRS the DERIVED geometry only reaches 3 groups past ~4.2M
     vectors, so the budget check forces groups=3 directly; the recall check
     runs the derived geometry."""
     import itertools
