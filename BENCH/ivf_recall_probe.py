@@ -37,6 +37,12 @@ train_ivf_directions; IVF_MAX_DIRS=256):
                         0.9419
                 (2,354) budget 16 (nprobe +1 per dirs doubling past
                         256): 0.9763, cap drops 2 buckets/131 rows
+  fill-slack regime (IVF_FILL_SLACK; the full n=2.2M probe exceeds this
+              box's ~200GB shuffle scratch — measured via PROBE_MAX_DIRS=256
+              scaled replica):
+                n=524280 control  (2,256) fill 8.0:  0.9506
+                n=550000 slack    (2,256) fill 8.39: 0.9493
+              -> slack costs 0.0013 recall where a third group costs ~0.04
   sf1x diffuse pairs (cos 0.3-0.7, outside the dedup contract): unchanged
   character — low by design; see population notes above
 
@@ -59,6 +65,15 @@ from relieff_lsh_spark.session import get_spark  # noqa: E402
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
 MEMBERS = 10
+
+# PROBE_MAX_DIRS: probe-only override of knn.IVF_MAX_DIRS, for measuring a
+# SCALED-DOWN replica of a geometry regime whose full-n probe exceeds this
+# single box (the n=2.2M fill-slack point needs >200 GB of shuffle scratch;
+# a real cluster spreads that over executor-local disks). Lowering the cap
+# at proportionally lower n reproduces the same regime — dirs capped, fill
+# over target — at tractable shuffle volume. Affects only this process.
+if os.environ.get("PROBE_MAX_DIRS"):
+    knn.IVF_MAX_DIRS = int(os.environ["PROBE_MAX_DIRS"])
 
 
 def main() -> None:
