@@ -82,18 +82,42 @@ def _membw_gbps(size_mb: int = 512) -> float:
     return round(best, 2)
 
 
+def _copy_burn(_):
+    """~3s of 256MB numpy copies; returns bytes moved (bandwidth probe)."""
+    import numpy as np
+
+    n = 256 * 1024 * 1024 // 8
+    src = np.ones(n, dtype=np.float64)
+    dst = np.full(n, 0.0, dtype=np.float64)
+    t0 = time.time()
+    moved = 0
+    while time.time() - t0 < 3.0:
+        dst[:] = src
+        moved += n * 8
+    return moved
+
+
 def _host_ceiling() -> dict:
-    """Pure-CPU aggregate speedup LO -> HI procs: the efficiency any
-    workload could at best show on this (shared) host."""
+    """Aggregate speedup LO -> HI procs for two probe workloads: a pure-CPU
+    spin (`ceiling` — what cache-resident code can show) and concurrent
+    large memory copies (`ceiling_membw` — what DRAM-bandwidth-bound code
+    can show; one socket's memory bus is SHARED by local[HI] workers,
+    where a real 4x-executor cluster multiplies buses with nodes). The
+    pipeline sits between the two: signature FFT/decode streams the corpus'
+    bytes, so its per-core cost rises with co-resident workers (visible as
+    cpu_core_seconds inflation at HI, recorded per run)."""
     import multiprocessing as mp
 
-    burn = _burn
-    agg = {}
-    for n in (LO, HI):
-        with mp.Pool(n) as p:
-            agg[n] = sum(p.map(burn, range(n)))
-    ceiling = round((agg[HI] / agg[LO]) / RATIO, 3)
-    return {"aggregate_lo": agg[LO], "aggregate_hi": agg[HI], "ceiling": ceiling}
+    out = {}
+    for name, fn in (("", _burn), ("_membw", _copy_burn)):
+        agg = {}
+        for n in (LO, HI):
+            with mp.Pool(n) as p:
+                agg[n] = sum(p.map(fn, range(n)))
+        out[f"aggregate_lo{name}"] = agg[LO]
+        out[f"aggregate_hi{name}"] = agg[HI]
+        out[f"ceiling{name}"] = round((agg[HI] / agg[LO]) / RATIO, 3)
+    return out
 
 
 def _zip_pkg() -> str:
@@ -250,7 +274,13 @@ def main() -> None:
                 "clips_per_sec": runs[c]["clips_per_sec"],
                 "steal_pct": runs[c]["steal_pct"],
                 "cpu_core_seconds": runs[c]["cpu_core_seconds"],
+                "cpu_usr_seconds": runs[c].get("cpu_usr_seconds"),
+                "cpu_sys_seconds": runs[c].get("cpu_sys_seconds"),
+                "membw_gbps_pre": runs[c].get("membw_gbps_pre"),
+                "launch_wall_seconds": runs[c].get("launch_wall_seconds"),
                 "all_walls": [m["wall_seconds"] for m in attempts[c]],
+                "all_membw_gbps_pre": [m.get("membw_gbps_pre")
+                                       for m in attempts[c]],
                 "stage_seconds": {
                     s: runs[c]["stages"][s]["seconds"] for s in STAGES
                 },
@@ -291,7 +321,11 @@ shows aggregate speedup {round(ceiling['ceiling'] * RATIO, 2)}x from
 {LO} -> {HI} procs, i.e. even perfectly-parallel userland code can show at
 most **{ceiling['ceiling']}** efficiency here. (At 8 -> 32 the same probe
 measured ~0.77 — below the target before any Spark code runs — hence the
-{LO}/{HI} pair.)
+{LO}/{HI} pair.) Concurrent large memory copies (the bound for
+DRAM-streaming code: local[{HI}] shares ONE memory bus where a real
+{int(RATIO)}x-executor cluster multiplies buses with nodes) scale at
+**{ceiling['ceiling_membw']}** on the same pair; the pipeline's
+decode/FFT stage sits between the two probes.
 
 | master | wall (s) | clips/sec | signatures (s) | candidates (s) | verified (s) | components (s) |
 |---|---|---|---|---|---|---|

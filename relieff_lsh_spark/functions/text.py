@@ -2,8 +2,8 @@
 
 All shingle construction and band hashing is pure JVM-side column expressions
 (whole-stage codegen; SURVEY.md §4 O11). The only Python is the MinHash
-signature pandas UDF, which is numpy-vectorized over Arrow batches
-(input_hint: "no per-row Python").
+signature arrow_udf, numpy-vectorized over whole Arrow batches via a
+segmented reduceat (input_hint: "no per-row Python").
 
 Parity notes: the reference hashes points into multi-table LSH keys inside
 the external KNiNe library (call sites reference ReliefFFeatureSelector.scala:
@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -115,30 +116,56 @@ def minhash_params(cfg: DedupConfig) -> tuple[np.ndarray, np.ndarray]:
 
 
 def make_minhash_udf(cfg: DedupConfig):
-    """pandas UDF: array<bigint> shingle hashes -> array<bigint> MinHash sig.
+    """arrow_udf: array<bigint> shingle hashes -> array<bigint> MinHash sig.
 
     Vectorized per batch: for each row a (n_perms x n_shingles) uint64 matrix
     min-reduced along shingles. Empty shingle sets get the sentinel max
     signature (they can only band-collide with other empty sets; those are
     filtered before banding anyway).
     """
+    from pyspark.sql.functions import arrow_udf
+
     a, b = minhash_params(cfg)
     n_perms = cfg.n_perms
-    sentinel = np.full(n_perms, _MERSENNE61 - 1, dtype=np.uint64)
+    sentinel = np.full(n_perms, _MERSENNE61 - 1, dtype=np.int64)
 
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def minhash(shingles: pd.Series) -> pd.Series:
-        out = []
-        for row in shingles:
-            if row is None or len(row) == 0:
-                out.append(sentinel.astype(np.int64))
-                continue
-            h = np.asarray(row, dtype=np.int64).astype(np.uint64)
-            # (a*h+b) mod M61; uint64 wraparound on the multiply is fine for
-            # a hash family — we fold with a final mod for spread.
-            m = (a[:, None] * h[None, :] + b[:, None]) % _MERSENNE61
-            out.append(m.min(axis=1).astype(np.int64))
-        return pd.Series(out)
+    @arrow_udf(T.ArrayType(T.LongType()))
+    def minhash(shingles: pa.Array) -> pa.Array:
+        # ONE vectorized pass for the whole Arrow batch: permute every
+        # shingle hash in the batch at once ((n_perms x total) uint64
+        # matrix), then per-row segmented min via minimum.reduceat over the
+        # ListArray offsets — no per-row python, no Arrow->pandas ndarray
+        # materialization. Elementwise math identical to the per-row form
+        # it replaced ((a*h+b) with uint64 wraparound, folded % M61), so
+        # signatures are bit-identical.
+        arr = shingles.combine_chunks() if isinstance(shingles, pa.ChunkedArray) else shingles
+        n = len(arr)
+        raw = np.asarray(arr.offsets, dtype=np.int64)  # absolute into values
+        offs = raw - raw[0]
+        flat = np.asarray(arr.values, dtype=np.int64)[raw[0]:raw[-1]].view(np.uint64)
+        out = np.full((n, n_perms), sentinel[0], dtype=np.int64)
+        if flat.size:
+            m = (a[:, None] * flat[None, :] + b[:, None]) % _MERSENNE61
+            # reduceat start indices must be < flat.size: rows in a trailing
+            # all-empty run have start == flat.size and stay sentinel; a
+            # MID-batch empty row keeps its true start (< flat.size by
+            # monotonicity) so neighbors' segment boundaries stay exact, and
+            # its own garbage reduceat output (m[:, start]) is overwritten
+            # by the `empty` mask below.
+            nz = int(np.searchsorted(offs[:-1], flat.size, side="left"))
+            if nz > 0:
+                out[:nz] = np.minimum.reduceat(
+                    m, offs[:nz], axis=1
+                ).T.astype(np.int64)
+        empty = offs[1:] == offs[:-1]
+        valid = arr.is_valid().to_numpy(zero_copy_only=False)
+        empty |= ~valid
+        out[empty] = sentinel
+        list_offs = np.arange(0, (n + 1) * n_perms, n_perms, dtype=np.int32)
+        return pa.ListArray.from_arrays(
+            pa.array(list_offs, type=pa.int32()),
+            pa.array(out.reshape(-1), type=pa.int64()),
+        )
 
     return minhash
 

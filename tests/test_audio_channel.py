@@ -270,3 +270,23 @@ def test_injected_codec_decoder_leaves_quarantine(spark, tiny_corpus_dir, cfg, t
         for r in base.catalog.read("signatures").select("clip_id", "simhash").collect()
     }
     assert got == want and all(v is not None for v in got.values())
+
+
+def test_simhash_arrow_udf_quarantines_null_and_unknown(cfg):
+    """The zero-copy arrow kernel must quarantine (NULL) a null payload, a
+    null codec, and an unregistered codec — and agree with the direct
+    decode->fingerprint->simhash path on decodable rows (buffer-protocol
+    slice in, same bits out)."""
+    import pyarrow as pa
+
+    from relieff_lsh_spark.functions.audio import make_simhash_udf, simhash_planes
+
+    buf = _clip([440.0])
+    planes = simhash_planes(cfg)
+    x, sr = decode_pcm(buf, "pcm_s16le")
+    want = simhash64(spectral_fingerprint(x, sr, cfg), planes)
+
+    kernel = make_simhash_udf(cfg).func
+    bufs = pa.array([buf, None, buf, buf], type=pa.binary())
+    codecs = pa.array(["pcm_s16le", "pcm_s16le", None, "opus"], type=pa.string())
+    assert kernel(bufs, codecs).to_pylist() == [want, None, None, None]

@@ -173,3 +173,57 @@ def test_text_components_clusters_planted_clones(spark):
 
     expect = Counter(comp.values())
     assert sizes == {c: n for c, n in expect.items() if n >= 2}
+
+
+def test_minhash_arrow_kernel_matches_per_row_formula(cfg):
+    """The batched reduceat MinHash kernel must equal the per-row formula
+    ((a*h+b) with uint64 wraparound, % M61, min over shingles) on every
+    reduceat edge case: leading/mid-batch/trailing empty rows, null rows,
+    an all-empty batch, and a SLICED (non-zero offset) ListArray."""
+    import numpy as np
+    import pyarrow as pa
+
+    from relieff_lsh_spark.functions.text import (
+        _MERSENNE61,
+        make_minhash_udf,
+        minhash_params,
+    )
+
+    a, b = minhash_params(cfg)
+    sentinel = [_MERSENNE61 - 1] * cfg.n_perms
+
+    def expect_row(row):
+        if row is None or len(row) == 0:
+            return sentinel
+        h = np.asarray(row, dtype=np.int64).view(np.uint64)
+        m = (a[:, None] * h[None, :] + b[:, None]) % _MERSENNE61
+        return m.min(axis=1).astype(np.int64).tolist()
+
+    rng = np.random.default_rng(7)
+    big = rng.integers(-(2**62), 2**62, 37).tolist()
+    rows = [
+        [],                         # leading empty
+        big[:5],
+        None,                       # null mid-batch
+        [],                         # mid-batch empty
+        big[5:6],                   # single shingle
+        big,                        # long row
+        [],                         # trailing empty run...
+        None,
+        [],
+    ]
+    kernel = make_minhash_udf(cfg).func
+    arr = pa.array(rows, type=pa.list_(pa.int64()))
+    got = kernel(arr).to_pylist()
+    want = [expect_row(r) for r in rows]
+    assert got == want
+
+    # sliced view (non-zero value/list offsets) must not shift segments
+    sl = arr.slice(2, 6)
+    assert kernel(sl).to_pylist() == [expect_row(r) for r in rows[2:8]]
+
+    # chunked input (what Spark can hand over) and an all-empty batch
+    ch = pa.chunked_array([arr.slice(0, 4), arr.slice(4)])
+    assert kernel(ch).to_pylist() == want
+    empties = pa.array([[], None, []], type=pa.list_(pa.int64()))
+    assert kernel(empties).to_pylist() == [sentinel] * 3
