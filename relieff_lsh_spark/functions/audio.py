@@ -150,10 +150,10 @@ def _fp_constants(n_fft: int, sr_hz: int, cfg: DedupConfig) -> tuple:
 # FFT frames per blocked iteration: sized so one iteration's working set
 # (windowed float32 block + pocketfft's float64 upcast + complex128 output
 # + |.|^2 block, ~1.6 MB at n_fft=1024) stays cache-resident instead of
-# streaming ~2 MB/clip of spectra through DRAM. Measured (BENCH/
-# sig_kernel_bench.py, 6000 realistic clips): +14% single-proc throughput
-# AND better 2->8-proc scaling (the un-blocked kernel is memory-bandwidth
-# bound at 8 concurrent workers on this host).
+# streaming ~2 MB/clip of spectra through DRAM. Measured on 6000 realistic
+# clips: +14% single-proc throughput AND better 2->8-proc scaling (the
+# un-blocked kernel is memory-bandwidth bound at 8 concurrent workers on
+# this host).
 _FFT_BLOCK = 32
 
 

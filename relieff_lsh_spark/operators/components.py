@@ -156,10 +156,17 @@ def connected_components(
         new_sum = _checksum(new_e)
         if new_sum == prev_sum:
             # exact fixpoint verification (checksums are probabilistic):
-            # symmetric difference must be empty
+            # symmetric difference must be empty. Both states are distinct
+            # (u, v) sets (the round-closing distinct in _small_star), so a
+            # group of count 1 in the concatenation IS an asymmetric row —
+            # ONE job instead of two exceptAll passes.
             diff = (
-                new_e.exceptAll(e).limit(1).count()
-                + e.exceptAll(new_e).limit(1).count()
+                new_e.unionAll(e)
+                .groupBy("u", "v")
+                .count()
+                .where(F.col("count") == 1)
+                .limit(1)
+                .count()
             )
             if diff == 0:
                 converged = True
