@@ -91,6 +91,16 @@ def _checksum(df: DataFrame) -> int:
     return int(row["c"] or 0)
 
 
+def _checksum_and_count(df: DataFrame) -> tuple[int, int]:
+    # Initial-state variant: the emptiness probe and the first checksum are
+    # the SAME aggregate scan, so fold them into one action (one job
+    # materializes the entry checkpoint, vs isEmpty + checksum = two).
+    row = df.agg(
+        F.bit_xor(F.xxhash64("u", "v")).alias("c"), F.count("*").alias("n")
+    ).collect()[0]
+    return int(row["c"] or 0), int(row["n"])
+
+
 def _latest_checkpoint(checkpoint_dir: str) -> tuple[int, str] | None:
     if not checkpoint_dir or not os.path.isdir(checkpoint_dir):
         return None
@@ -135,12 +145,14 @@ def connected_components(
         e = spark.read.parquet(path)
     e = e.localCheckpoint()
 
-    converged = e.isEmpty()
+    prev_sum, n_edges = _checksum_and_count(e)
+    converged = n_edges == 0
     it = start_round
     last_ckpt = start_round  # rounds-since-checkpoint tracker: the loop
     # advances `it` by 2 per pass, so a naive `it % checkpoint_every == 0`
     # with an odd cadence would only fire on multiples of 2*checkpoint_every
-    prev_sum = None if converged else _checksum(e)
+    if converged:
+        prev_sum = None
     while not converged and it < max_iters:
         # TWO star rounds composed lazily per materialization barrier: the
         # stage is latency-bound (per-job scheduling dwarfs the per-round
