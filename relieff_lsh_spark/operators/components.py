@@ -37,6 +37,24 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+# Tuning note (round 5): disabling AQE for the fixpoint loop — on the
+# theory that AQE's per-exchange materialization jobs are pure driver
+# latency for a tiny edge relation — was tried and measured 8x SLOWER
+# (21-24s -> 167-170s on a 200k-edge synthetic at local[8], eager and lazy
+# checkpoints alike): without AQE the round-over-round localCheckpoint
+# lineage truncation stops holding the executed plan to O(1) stages per
+# round and the static 32/64-partition exchanges lose coalescing. The
+# AQE + lazy-checkpoint shape below is load-bearing, not incidental. What
+# actually fixed the stage's 2->8-core latency was (a) spark.locality.wait=0
+# (session.py): each tiny stage sat a full 3s locality timeout before
+# launching its first task on cached fixpoint blocks; and (b) expressing
+# each star round's min-per-key as a WINDOW over the edge relation instead
+# of groupBy + join-back — one exchange per round instead of two, measured
+# (BENCH/_work, 392k-edge synthetic incl. a 250k-node tree and a
+# 2k-diameter path, interleaved best-of-2) 41.4s -> 29.5s at local[8] and
+# 60.1s -> 51.6s at local[2], identical outputs and round count.
 
 
 @dataclass
@@ -48,19 +66,23 @@ class ComponentsResult:
 
 def _large_star(e: DataFrame) -> DataFrame:
     """e(u, v) directed child->parent (u > v). Every node's LARGER neighbors
-    attach to min(closed neighborhood)."""
+    attach to min(closed neighborhood).
+
+    min-per-key is a window over the SAME relation, not a groupBy +
+    join-back: one exchange of the edge relation per round instead of two
+    (the fixpoint is latency-bound — every exchange is an AQE
+    materialization job's worth of driver latency — and the window's
+    per-key sort is bounded by the largest star, trivially small next to
+    the join it replaces). Output multiset identical to the join form:
+    mins had exactly one row per u, so the join attached m row-for-row."""
     both = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    mins = (
-        both.groupBy("u")
-        .agg(F.min("v").alias("mn"))
-        .select("u", F.least("u", "mn").alias("m"))
-    )
+    m = F.least(F.col("u"), F.min("v").over(W.partitionBy("u"))).alias("m")
     # No distinct here: duplicates produced within one round are bounded
     # (one row per directed input edge) and the round-closing distinct in
     # _small_star canonicalizes the state — dropping this exchange removes
     # a full shuffle of the edge relation from every round.
     return (
-        both.join(mins, "u")
+        both.select("u", "v", m)
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .where(F.col("u") != F.col("v"))
@@ -68,13 +90,15 @@ def _large_star(e: DataFrame) -> DataFrame:
 
 
 def _small_star(e: DataFrame) -> DataFrame:
-    """Every node and its SMALLER neighbors attach to min(closed nbhd)."""
+    """Every node and its SMALLER neighbors attach to min(closed nbhd).
+    Same window-not-join shape as _large_star; the (u, m) root edge is
+    emitted once per input row instead of once per group (the join form's
+    union with `mins`), and the round-closing distinct — already present —
+    canonicalizes, so the output SET is unchanged."""
     d = e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
-    mins = d.groupBy("u").agg(F.min("v").alias("m"))
-    out = (
-        d.join(mins, "u")
-        .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        .union(mins.select("u", F.col("m").alias("v")))
+    dw = d.select("u", "v", F.min("v").over(W.partitionBy("u")).alias("m"))
+    out = dw.select(F.col("v").alias("u"), F.col("m").alias("v")).union(
+        dw.select("u", F.col("m").alias("v"))
     )
     return out.where(F.col("u") != F.col("v")).distinct()
 

@@ -81,6 +81,17 @@ def get_spark(
         .config("spark.python.unix.domain.socket.enabled", "true")
         .config("spark.buffer.size", str(1024 * 1024))
         .config("spark.local.dir", _local_dir())
+        # Don't stall task launch on block locality: event-log profiling
+        # (BENCH/stage_profile.py) showed stages over cached/localCheckpoint
+        # blocks sitting 3s (the spark.locality.wait default) before their
+        # first task launched — pure scheduler idle, paid once per locality
+        # level per taskset. In local mode there is exactly one executor so
+        # the wait can never buy locality; on a multi-executor cluster this
+        # pipeline's hot joins read SHUFFLED data (locality-free) and the
+        # scan stages use FileScan locality hints, which this setting does
+        # not affect. Measured: the components fixpoint and AQE-materialized
+        # verify stages dropped from ~4s to task-bound walls.
+        .config("spark.locality.wait", "0")
         .config("spark.driver.memory", _DRIVER_MEM)
         # Fixed, pre-touched heap + capped GC threads: with a lazily
         # committed heap, G1's parallel GC threads page-fault constantly

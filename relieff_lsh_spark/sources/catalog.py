@@ -66,17 +66,28 @@ def file_lineage(data_dir: str) -> list[dict]:
     this is exactly the metadata a table format keeps in its manifests
     (round-3 change: the per-stage lineage groupBy job this replaces was
     pure fixed per-run latency at high parallelism)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     import pyarrow.parquet as pq
 
-    out = []
     # filter BEFORE enumerating: skipped entries (_SUCCESS, .crc) must not
     # consume partition_id values — ids are 0-based and contiguous, matching
     # partition_lineage's semantics
     names = sorted(n for n in os.listdir(data_dir) if n.endswith(".parquet"))
-    for i, name in enumerate(names):
-        md = pq.ParquetFile(os.path.join(data_dir, name)).metadata
-        out.append({"partition_id": i, "rows": int(md.num_rows), "file": name})
-    return out
+
+    def _rows(name: str) -> int:
+        return int(pq.ParquetFile(os.path.join(data_dir, name)).metadata.num_rows)
+
+    # footer reads are tiny random IO: serial, a 368-file snapshot cost ~3.5s
+    # of driver-only wall PER STAGE (event-log profile) — a fixed cost the
+    # scaling gate's 4N leg pays at 4x relative weight. 16 threads make it
+    # ~0.3s; ordering (and therefore partition_id assignment) is preserved.
+    with ThreadPoolExecutor(max_workers=16) as ex:
+        counts = list(ex.map(_rows, names))
+    return [
+        {"partition_id": i, "rows": n, "file": name}
+        for i, (name, n) in enumerate(zip(names, counts))
+    ]
 
 
 class SnapshotCatalog:
