@@ -55,6 +55,15 @@ from pyspark.sql import Window as W
 # (BENCH/_work, 392k-edge synthetic incl. a 250k-node tree and a
 # 2k-diameter path, interleaved best-of-2) 41.4s -> 29.5s at local[8] and
 # 60.1s -> 51.6s at local[2], identical outputs and round count.
+#
+# Barrier depth, re-measured at the window-star HEAD
+# (BENCH/components_depth_probe.py, same synthetic shape, local[8]):
+# pairs_per_barrier 1 and 2 are equivalent within host noise (bests
+# 11.9-13.9s vs 14.1-14.3s across two interleaved sessions), 3-4 are
+# clearly WORSE (19.6s/28.8s — deeper lazy composition costs more in plan
+# depth/AQE materialization than the saved checksum actions). The knob
+# exists so the trade stays measurable; the default stays 2 (every
+# recorded scaling/bench artifact ran it, and 1 is not a demonstrated win).
 
 
 @dataclass
@@ -149,6 +158,11 @@ def connected_components(
     # exhibit (the star fixpoint converges in ~8 rounds on the 92k-diameter
     # bench component) — the restart-protection/extra-write trade-off
     # round 2 effectively ran with
+    pairs_per_barrier: int = 2,  # star (large+small) pairs composed lazily
+    # per materialization barrier/checksum action; the fixpoint is
+    # latency-bound so fewer barriers = less fixed cost, at the price of up
+    # to pairs_per_barrier-1 wasted (cheap, already-converged) rounds after
+    # the true fixpoint and a coarser convergence check
 ) -> ComponentsResult:
     """edges(a, b) undirected + vertices(clip_id) -> (clip_id, component_id)
     where component_id = min clip_id in the component. Singletons keep their
@@ -178,15 +192,17 @@ def connected_components(
     if converged:
         prev_sum = None
     while not converged and it < max_iters:
-        # TWO star rounds composed lazily per materialization barrier: the
-        # stage is latency-bound (per-job scheduling dwarfs the per-round
-        # edge shuffle at dedup edge densities), so halving the number of
-        # barriers/checksum actions halves its fixed cost. Convergence is
-        # still exact — the checksum repeat is re-verified set-wise below.
-        it += 2
-        new_e = _small_star(_large_star(_small_star(_large_star(e)))).localCheckpoint(
-            eager=False
-        )
+        # pairs_per_barrier star rounds composed lazily per materialization
+        # barrier: the stage is latency-bound (per-job scheduling dwarfs the
+        # per-round edge shuffle at dedup edge densities), so halving the
+        # number of barriers/checksum actions halves its fixed cost.
+        # Convergence is still exact — the checksum repeat is re-verified
+        # set-wise below.
+        it += pairs_per_barrier
+        ne = e
+        for _ in range(pairs_per_barrier):
+            ne = _small_star(_large_star(ne))
+        new_e = ne.localCheckpoint(eager=False)
         # the checksum action materializes the lazy checkpoint: ONE Spark
         # job per double-round
         new_sum = _checksum(new_e)
