@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 
 from relieff_lsh_spark.barrier import barrier
 from relieff_lsh_spark.operators.capped import capped_pairs, capped_pairs_sql
+from relieff_lsh_spark.spread import spread
 
 K = 5
 N_PERMS = 16
@@ -127,8 +128,15 @@ def shingle_hashes_expr(tw):
 
 def _shingled(docs: DataFrame) -> DataFrame:
     """(doc_id, sh): distinct shingle-hash pairs per doc; docs with no
-    shingles dropped. The one barrier every text-channel query builds on."""
-    d0 = barrier(docs.select(
+    shingles dropped. The one barrier every text-channel query builds on.
+
+    spread() first: the demo tables are single small parquet files whose
+    scans plan at 1-4 tasks, and everything expensive in this chain (token
+    md5s, Horner shingles, the folds above) runs pre-shuffle — without the
+    spread the whole text channel executed 4-wide on a 32-core session
+    (measured, relieff_lsh_spark/spread.py). No-op on production-layout
+    inputs."""
+    d0 = barrier(spread(docs).select(
         "doc_id", token_word_hashes("text").alias("tw")
     ), eager=False)
     return d0.select(
@@ -416,7 +424,11 @@ def q_lsh_candidates_refined(docs: DataFrame) -> DataFrame:
 def _prefiltered(cand: DataFrame, sig: DataFrame) -> DataFrame:
     """Fixed-width MinHash prefilter ahead of the shingle-array join (the
     corpus verify stage's tier-1, operators/verify.py): keep pairs with
-    >= PREFILTER_MIN_AGREE agreeing minhash lanes."""
+    >= PREFILTER_MIN_AGREE agreeing minhash lanes.
+
+    Used standalone by the profiling harness (BENCH/jv_profile.py);
+    q_jaccard_verify applies the same predicate inside its combined 2-join
+    shape (measured faster there — see the query docstring)."""
     from relieff_lsh_spark.functions.distance import minhash_agree
 
     mh = sig.select("doc_id", "mh")
@@ -441,18 +453,44 @@ def q_jaccard_verify(docs: DataFrame) -> DataFrame:
     exact; only a brute-force oracle over the raw candidate set would see
     the difference."""
     # EAGER checkpoint, deliberately (round-4 measurement): this query
-    # consumes sig in SIX join branches (band self-join x2, prefilter mh
-    # x2, shingle arrays x2); with only the internal lazy barrier the
-    # first-job scheduling interleaves those consumers against an
-    # unmaterialized RDD and the query measured 3x slower (25.7s vs 8.0s
-    # at sf0.1). The candidates/simhash queries, with 2 consumers, go
-    # FASTER without the extra eager store — not a universal rule.
+    # consumes sig in FOUR join branches (band self-join x2, mh+sh sides
+    # x2); with only the internal lazy barrier the first-job scheduling
+    # interleaves those consumers against an unmaterialized RDD and the
+    # query measured 3x slower (25.7s vs 8.0s at sf0.1). The
+    # candidates/simhash queries, with 2 consumers, go FASTER without the
+    # extra eager store — not a universal rule.
+    #
+    # Join shape (round-5 measurement, BENCH/jv_profile.py at sf1x): ONE
+    # pair of doc-keyed joins carrying mh AND sh together, with the
+    # prefilter as a post-join predicate — not separate prefilter joins
+    # followed by sh joins. Four joins with a "narrow first" prefilter
+    # measured 31.2s e2e vs 25.1s for this shape: at LSH candidate
+    # selectivity most candidates survive the prefilter, so the extra join
+    # pair costs more than the sh-width it saves. The prefilter predicate
+    # itself still pays: it gates the array_intersect.
+    from relieff_lsh_spark.functions.distance import minhash_agree
+
     sig = barrier(signature_df(augmented_docs(docs)))
-    cand = _prefiltered(_candidates_from(sig), sig)
-    sh = sig.select("doc_id", "sh")
+    cand = _candidates_from(sig)
+    side = sig.select("doc_id", "mh", "sh")
     return (
-        cand.join(sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a")), "a")
-        .join(sh.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b")), "b")
+        cand.join(
+            side.select(
+                F.col("doc_id").alias("a"),
+                F.col("mh").alias("mh_a"),
+                F.col("sh").alias("sh_a"),
+            ),
+            "a",
+        )
+        .join(
+            side.select(
+                F.col("doc_id").alias("b"),
+                F.col("mh").alias("mh_b"),
+                F.col("sh").alias("sh_b"),
+            ),
+            "b",
+        )
+        .where(minhash_agree(F.col("mh_a"), F.col("mh_b")) >= PREFILTER_MIN_AGREE)
         .withColumn("n_int", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",

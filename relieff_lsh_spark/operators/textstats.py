@@ -17,6 +17,7 @@ from relieff_lsh_spark.operators.dedup_docs import (
     token_word_hashes,
     tokens,
 )
+from relieff_lsh_spark.spread import spread
 
 STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
 
@@ -93,7 +94,10 @@ def q_doc_fingerprint(docs: DataFrame) -> DataFrame:
     overflow int64, so the fingerprint is the PAIR-lexicographic min/max,
     carried as its two words (struct ordering is field-lexicographic in
     both engines)."""
-    d0 = barrier(docs.select(
+    # spread() for the same reason as dedup_docs._shingled: the Horner
+    # chains above this scan are the cost, and a single-file demo scan
+    # plans 1-4 tasks (relieff_lsh_spark/spread.py; no-op at scale).
+    d0 = barrier(spread(docs).select(
         "doc_id", token_word_hashes("text").alias("tw")
     ), eager=False)
     sh = d0.select(
