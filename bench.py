@@ -287,8 +287,11 @@ def main() -> None:
     # pushed it out of the driver's tail window. A file copy survives any
     # stdout mangling.
     spark.stop()
-    with open(os.path.join(REPO, "BENCH", "bench_last.json"), "w") as f:
-        f.write(line + "\n")
+    # Subset runs (BENCH_QUERIES set) are ad-hoc probes: don't clobber the
+    # full-suite record the driver and BASELINE.md tables point at.
+    if not os.environ.get("BENCH_QUERIES"):
+        with open(os.path.join(REPO, "BENCH", "bench_last.json"), "w") as f:
+            f.write(line + "\n")
     sys.stdout.flush()
     sys.stderr.flush()
     print(line, flush=True)
