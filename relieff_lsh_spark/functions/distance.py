@@ -2,11 +2,16 @@
 
 The reference's DistanceProvider (ReliefFFeatureSelector.scala:29-52) is a
 per-pair scalar closure; here each metric is a codegen'd expression so the
-verify stage stays inside whole-stage codegen (SURVEY.md §4 O11).
+verify stage stays inside whole-stage codegen (SURVEY.md §4 O11). The one
+exception is cosine_seqfold — an Arrow kernel that is a measured,
+bit-identical replacement for the interpreted HOF cosine fold (its
+docstring has the equivalence argument).
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -55,3 +60,52 @@ def cosine(a: Column, b: Column) -> Column:
     na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
     nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
     return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
+
+
+def cosine_seqfold(a: Column, b: Column) -> Column:
+    """BIT-IDENTICAL Arrow twin of the HOF left-fold cosine used by the
+    pair-verify queries (knn._cos): higher-order-function lambdas are
+    interpreted per ELEMENT (CodegenFallback), so at 64 dims each verified
+    pair paid ~200 interpreted evals — the dominant cost of the
+    cosine-verify queries once candidates number in the millions. The
+    kernel below replaces the per-element interpreter with one vectorized
+    numpy op per dimension per Arrow batch while preserving the exact IEEE
+    value, term by term:
+
+      * accumulation runs dim-by-dim ACROSS the batch (``acc += A[:,i] *
+        B[:,i]``) — the same left-fold order as ``aggregate(zip_with(a, b,
+        x*y), 0.0, acc+v)``, starting from the same +0.0, so every
+        intermediate rounding is the JVM fold's rounding;
+      * each step is one IEEE-754 double mul then one add — numpy ufuncs
+        do not fuse (no FMA contraction), matching the JVM's strict
+        non-fused double semantics;
+      * sqrt/division/multiplication are single correctly-rounded IEEE ops
+        in both runtimes, applied in the same expression order
+        ``dot / (sqrt(na2) * sqrt(nb2))``.
+
+    The result column is the UNROUNDED double, identical to the HOF form
+    bit for bit (pinned by tests/test_ann.py::test_cosine_seqfold_bitexact);
+    callers apply the same F.round(_, 6) they applied before. No
+    zero-norm guard, exactly like knn._cos (0/0 -> NaN either way).
+    """
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.DoubleType())
+    def _cos_kernel(va: pd.Series, vb: pd.Series) -> pd.Series:
+        A = np.stack(va.to_numpy())
+        B = np.stack(vb.to_numpy())
+        n = len(A)
+        dot = np.zeros(n)
+        na2 = np.zeros(n)
+        nb2 = np.zeros(n)
+        for i in range(A.shape[1]):
+            ai = A[:, i]
+            bi = B[:, i]
+            dot += ai * bi
+            na2 += ai * ai
+            nb2 += bi * bi
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = dot / (np.sqrt(na2) * np.sqrt(nb2))
+        return pd.Series(out)
+
+    return _cos_kernel(a, b)

@@ -6,9 +6,15 @@ queries x corpus instead of corpus x corpus). The LSH-bucketed variant is
 the scale path: random-hyperplane SimHash over embeddings -> multi-probe
 band join, the same machinery as the audio channel.
 
-Cosine is computed with built-in higher-order functions (zip_with +
-aggregate) in doubles — JVM-side, no UDF — and rounded before output so the
-DuckDB oracle (list_dot_product on DOUBLE[]) matches bit-for-bit.
+Cosine is defined as the higher-order-function left fold (zip_with +
+aggregate) in doubles, rounded before output so the DuckDB oracle
+(list_dot_product on DOUBLE[]) matches bit-for-bit. It EXECUTES as the
+Arrow seqfold kernel (functions/distance.cosine_seqfold), a bit-identical
+replacement for the interpreted HOF fold — HOF lambdas are CodegenFallback,
+~200 interpreted evals per 64-dim pair, which dominated every cosine-verify
+query once pairs numbered in the millions (measured 1.4-1.8x whole-query at
+sf1x, BENCH/cos_kernel_probe.json; equivalence argument in the kernel's
+docstring, pinned by tests/test_ann.py::test_cosine_seqfold_bitexact).
 """
 
 from __future__ import annotations
@@ -29,12 +35,21 @@ TOP_K = 5
 NEARDUP_MIN_COS = 0.30
 
 
-def _cos(a, b):
+def _cos_hof(a, b):
+    """The defining JVM form (kept as the spec the Arrow kernel is
+    test-pinned against; interpreted HOF evaluation — do not put back on
+    the hot path)."""
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                       F.lit(0.0), lambda acc, v: acc + v)
     na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
     nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
     return dot / (na * nb)
+
+
+def _cos(a, b):
+    from relieff_lsh_spark.functions.distance import cosine_seqfold
+
+    return cosine_seqfold(a, b)
 
 
 def _dbl(col):

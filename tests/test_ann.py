@@ -406,3 +406,51 @@ def test_ivf_multiprobe_recall_vs_brute(spark):
     assert got <= brute                      # exact verify: no false pairs
     recall = len(got & brute) / len(brute)
     assert recall >= 0.5, f"IVF multi-probe recall {recall:.3f}"
+
+
+def test_cosine_seqfold_bitexact(spark):
+    """The Arrow seqfold cosine kernel must equal the defining HOF left-fold
+    form BIT for BIT (not approximately): the driver's oracle gate hashes
+    rounded values, so even a last-ulp drift that crosses a rounding
+    boundary would show up as a correctness failure. Exercised over every
+    a<b pair of the sf0.001 embeddings plus planted degenerate rows
+    (subnormal-scale norms; sign-of-zero product terms via exact-zero
+    components), compared on raw IEEE-754 bytes. Exact-ZERO norms are
+    excluded by construction on both sides: under ANSI mode the HOF
+    division THROWS on a zero divisor (verified), while the kernel yields
+    NaN -- the kernel is strictly more robust there, and the corpus
+    contract has no zero embeddings."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from relieff_lsh_spark.functions.distance import cosine_seqfold
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()["embedding"])
+    degenerate = spark.createDataFrame(
+        [(100001, [1e-30] * dim),
+         (100002, [-1e-30] * dim),
+         (100003, [1.0, -1.0] + [0.0] * (dim - 2)),
+         (100004, [0.0, 0.0, 1.0] + [0.0] * (dim - 3))],
+        "vec_id: long, embedding: array<double>",
+    )
+    v = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).unionByName(degenerate.select("vec_id", F.col("embedding").alias("v")))
+    a = v.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
+    b = v.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
+    both = (
+        a.join(b, F.col("a") < F.col("b"))
+        .select(
+            knn._cos_hof(F.col("va"), F.col("vb")).alias("h"),
+            cosine_seqfold(F.col("va"), F.col("vb")).alias("k"),
+        )
+        .collect()
+    )
+    assert len(both) > 100_000
+    mismatches = [
+        (r["h"], r["k"]) for r in both
+        if struct.pack("<d", r["h"]) != struct.pack("<d", r["k"])
+    ]
+    assert not mismatches, f"{len(mismatches)} bit-mismatches, first: {mismatches[:3]}"
