@@ -109,3 +109,37 @@ def cosine_seqfold(a: Column, b: Column) -> Column:
         return pd.Series(out)
 
     return _cos_kernel(a, b)
+
+
+def intersect_count_u64pairs(a1: Column, a2: Column,
+                             b1: Column, b2: Column) -> Column:
+    """Exact count of common (h1, h2) pairs between two pair-distinct
+    shingle-hash sets carried as PARALLEL array<bigint> columns — the Arrow
+    replacement for ``size(array_intersect(sh_a, sh_b))`` over
+    array<struct<h1,h2>>: ArrayIntersect has a hash fast path only for
+    primitive element types; struct elements fall back to O(n*m)
+    ordering-based comparison, which made the exact-Jaccard tail the most
+    expensive stage of the document verify query (measured 4-7x tail
+    speedup at sf1x, BENCH/jv_profile.py; the whole-query A/B is in
+    BENCH/cos_kernel_probe.json's sibling artifacts).
+
+    Exactness: both h1 and h2 are < 2^32 (Horner chains mod ~2^32 primes),
+    so each pair packs LOSSLESSLY into one uint64 key (h1 << 32 | h2); the
+    result is an integer count — no floating point anywhere, so the DuckDB
+    oracle needs no change. assume_unique holds because the shingle arrays
+    are array_distinct upstream (pair-distinct => packed-key-distinct).
+    """
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.IntegerType())
+    def _nint(s_a1: pd.Series, s_a2: pd.Series,
+              s_b1: pd.Series, s_b2: pd.Series) -> pd.Series:
+        out = np.empty(len(s_a1), dtype=np.int32)
+        u32 = np.uint64(32)
+        for i in range(len(s_a1)):
+            ka = (s_a1[i].astype(np.uint64) << u32) | s_a2[i].astype(np.uint64)
+            kb = (s_b1[i].astype(np.uint64) << u32) | s_b2[i].astype(np.uint64)
+            out[i] = np.intersect1d(ka, kb, assume_unique=True).size
+        return pd.Series(out)
+
+    return _nint(a1, a2, b1, b2)

@@ -461,24 +461,43 @@ def q_jaccard_verify(docs: DataFrame) -> DataFrame:
     # extra eager store — not a universal rule.
     #
     # Join shape (round-5 measurement, BENCH/jv_profile.py at sf1x): ONE
-    # pair of doc-keyed joins carrying mh AND sh together, with the
-    # prefilter as a post-join predicate — not separate prefilter joins
-    # followed by sh joins. Four joins with a "narrow first" prefilter
-    # measured 31.2s e2e vs 25.1s for this shape: at LSH candidate
-    # selectivity most candidates survive the prefilter, so the extra join
-    # pair costs more than the sh-width it saves. The prefilter predicate
-    # itself still pays: it gates the array_intersect.
-    from relieff_lsh_spark.functions.distance import minhash_agree
+    # pair of doc-keyed joins carrying mh AND the shingle hashes together,
+    # with the prefilter as a post-join predicate — not separate prefilter
+    # joins followed by sh joins. Four joins with a "narrow first"
+    # prefilter measured 31.2s e2e vs 25.1s for this shape: at LSH
+    # candidate selectivity most candidates survive the prefilter, so the
+    # extra join pair costs more than the sh-width it saves. The prefilter
+    # predicate itself still pays: it gates the intersect kernel.
+    #
+    # Intersect shape (round-5 measurement, /tmp A/B recorded in the
+    # intersect_count_u64pairs docstring): the shingle pairs travel as
+    # PARALLEL array<bigint> columns (h1s, h2s — extracted once per doc
+    # side, pre-join) and the intersection is COUNTED by an Arrow kernel
+    # on lossless uint64-packed keys. size(array_intersect()) on the
+    # struct arrays was the single most expensive expression in the suite:
+    # struct elements get no hash fast path in ArrayIntersect (O(n*m)
+    # interpreted ordering compares) — 9.0s vs 2.1s for the identical tail
+    # at sf1x, identical integer counts.
+    from relieff_lsh_spark.functions.distance import (
+        intersect_count_u64pairs,
+        minhash_agree,
+    )
 
     sig = barrier(signature_df(augmented_docs(docs)))
     cand = _candidates_from(sig)
-    side = sig.select("doc_id", "mh", "sh")
+    side = sig.select(
+        "doc_id",
+        "mh",
+        F.transform("sh", lambda s: s["h1"]).alias("p1"),
+        F.transform("sh", lambda s: s["h2"]).alias("p2"),
+    )
     return (
         cand.join(
             side.select(
                 F.col("doc_id").alias("a"),
                 F.col("mh").alias("mh_a"),
-                F.col("sh").alias("sh_a"),
+                F.col("p1").alias("a1"),
+                F.col("p2").alias("a2"),
             ),
             "a",
         )
@@ -486,17 +505,20 @@ def q_jaccard_verify(docs: DataFrame) -> DataFrame:
             side.select(
                 F.col("doc_id").alias("b"),
                 F.col("mh").alias("mh_b"),
-                F.col("sh").alias("sh_b"),
+                F.col("p1").alias("b1"),
+                F.col("p2").alias("b2"),
             ),
             "b",
         )
         .where(minhash_agree(F.col("mh_a"), F.col("mh_b")) >= PREFILTER_MIN_AGREE)
-        .withColumn("n_int", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("n_int", intersect_count_u64pairs(
+            F.col("a1"), F.col("a2"), F.col("b1"), F.col("b2")
+        ))
         .withColumn(
             "jaccard",
             F.round(
                 F.col("n_int")
-                / (F.size("sh_a") + F.size("sh_b") - F.col("n_int")),
+                / (F.size("a1") + F.size("b1") - F.col("n_int")),
                 6,
             ),
         )
