@@ -14,6 +14,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -88,27 +89,31 @@ def cosine_seqfold(a: Column, b: Column) -> Column:
     callers apply the same F.round(_, 6) they applied before. No
     zero-norm guard, exactly like knn._cos (0/0 -> NaN either way).
     """
-    from pyspark.sql import types as T
+    return _cos_seqfold_kernel(a, b)
 
-    @F.pandas_udf(T.DoubleType())
-    def _cos_kernel(va: pd.Series, vb: pd.Series) -> pd.Series:
-        A = np.stack(va.to_numpy())
-        B = np.stack(vb.to_numpy())
-        n = len(A)
-        dot = np.zeros(n)
-        na2 = np.zeros(n)
-        nb2 = np.zeros(n)
-        for i in range(A.shape[1]):
-            ai = A[:, i]
-            bi = B[:, i]
-            dot += ai * bi
-            na2 += ai * ai
-            nb2 += bi * bi
-        with np.errstate(divide="ignore", invalid="ignore"):
-            out = dot / (np.sqrt(na2) * np.sqrt(nb2))
-        return pd.Series(out)
 
-    return _cos_kernel(a, b)
+# Module-scope kernel (round-6 ADVICE): every cosine_seqfold call site now
+# references ONE registered UDF object instead of constructing a fresh
+# pandas_udf per call — plan-time only, but it restores UDF-level dedup.
+@F.pandas_udf(T.DoubleType())
+def _cos_seqfold_kernel(va: pd.Series, vb: pd.Series) -> pd.Series:
+    if len(va) == 0:  # np.stack raises on an empty sequence — no-op instead
+        return pd.Series(np.empty(0, dtype=np.float64))
+    A = np.stack(va.to_numpy())
+    B = np.stack(vb.to_numpy())
+    n = len(A)
+    dot = np.zeros(n)
+    na2 = np.zeros(n)
+    nb2 = np.zeros(n)
+    for i in range(A.shape[1]):
+        ai = A[:, i]
+        bi = B[:, i]
+        dot += ai * bi
+        na2 += ai * ai
+        nb2 += bi * bi
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = dot / (np.sqrt(na2) * np.sqrt(nb2))
+    return pd.Series(out)
 
 
 def intersect_count_u64pairs(a1: Column, a2: Column,
@@ -126,20 +131,67 @@ def intersect_count_u64pairs(a1: Column, a2: Column,
     Exactness: both h1 and h2 are < 2^32 (Horner chains mod ~2^32 primes),
     so each pair packs LOSSLESSLY into one uint64 key (h1 << 32 | h2); the
     result is an integer count — no floating point anywhere, so the DuckDB
-    oracle needs no change. assume_unique holds because the shingle arrays
-    are array_distinct upstream (pair-distinct => packed-key-distinct).
+    oracle needs no change. Key-distinctness holds because the shingle
+    arrays are array_distinct upstream (pair-distinct => packed-key-distinct).
+
+    Round-6: the kernel is FLATTENED — one vectorized pass per Arrow batch
+    (concatenate + per-batch dense key ids + one intersect1d + bincount)
+    instead of a per-row python loop of np.intersect1d calls (the round-5
+    VERDICT's named fix). Counts are identical by construction: a (row, key)
+    match under the dense-id encoding is exactly a per-row packed-key match.
+    Measured A/B: BENCH/intersect_flat_probe.json (see OPTIMIZATION_r06.md).
     """
-    from pyspark.sql import types as T
+    return _nint_flat_kernel(a1, a2, b1, b2)
 
-    @F.pandas_udf(T.IntegerType())
-    def _nint(s_a1: pd.Series, s_a2: pd.Series,
-              s_b1: pd.Series, s_b2: pd.Series) -> pd.Series:
-        out = np.empty(len(s_a1), dtype=np.int32)
-        u32 = np.uint64(32)
-        for i in range(len(s_a1)):
-            ka = (s_a1[i].astype(np.uint64) << u32) | s_a2[i].astype(np.uint64)
-            kb = (s_b1[i].astype(np.uint64) << u32) | s_b2[i].astype(np.uint64)
-            out[i] = np.intersect1d(ka, kb, assume_unique=True).size
-        return pd.Series(out)
 
-    return _nint(a1, a2, b1, b2)
+_U32 = np.uint64(32)
+
+
+def _pack_keys(s1: pd.Series, s2: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """Concatenate a batch of parallel (h1[], h2[]) rows into one flat
+    uint64 key array (h1 << 32 | h2) + per-row lengths."""
+    v1 = s1.to_numpy()
+    v2 = s2.to_numpy()
+    lens = np.fromiter((len(x) for x in v1), dtype=np.int64, count=len(v1))
+    if lens.sum() == 0:
+        return np.empty(0, dtype=np.uint64), lens
+    f1 = np.concatenate(v1).astype(np.uint64)
+    f2 = np.concatenate(v2).astype(np.uint64)
+    return (f1 << _U32) | f2, lens
+
+
+@F.pandas_udf(T.IntegerType())
+def _nint_flat_kernel(s_a1: pd.Series, s_a2: pd.Series,
+                      s_b1: pd.Series, s_b2: pd.Series) -> pd.Series:
+    n = len(s_a1)
+    if n == 0:
+        return pd.Series(np.empty(0, dtype=np.int32))
+    ka, lens_a = _pack_keys(s_a1, s_a2)
+    kb, lens_b = _pack_keys(s_b1, s_b2)
+    # dense per-batch key ids so (row, key) packs into ONE int64:
+    # row * n_uniq + key_id < n_rows * total_elems << 2^63
+    uniq, inv = np.unique(np.concatenate([ka, kb]), return_inverse=True)
+    ra = np.repeat(np.arange(n, dtype=np.int64), lens_a)
+    rb = np.repeat(np.arange(n, dtype=np.int64), lens_b)
+    m = np.int64(len(uniq))
+    ca = ra * m + inv[: len(ka)].astype(np.int64)
+    cb = rb * m + inv[len(ka):].astype(np.int64)
+    hits = np.intersect1d(ca, cb, assume_unique=True)  # unique per side:
+    # arrays are array_distinct upstream, rows disjoint in the encoding
+    counts = np.bincount(hits // m, minlength=n).astype(np.int32)
+    return pd.Series(counts)
+
+
+@F.pandas_udf(T.IntegerType())
+def _nint_perrow_kernel(s_a1: pd.Series, s_a2: pd.Series,
+                        s_b1: pd.Series, s_b2: pd.Series) -> pd.Series:
+    """Round-5 per-row form (kept for the A/B probe; positional .to_numpy
+    access per round-6 ADVICE)."""
+    a1, a2 = s_a1.to_numpy(), s_a2.to_numpy()
+    b1, b2 = s_b1.to_numpy(), s_b2.to_numpy()
+    out = np.empty(len(a1), dtype=np.int32)
+    for i in range(len(a1)):
+        ka = (a1[i].astype(np.uint64) << _U32) | a2[i].astype(np.uint64)
+        kb = (b1[i].astype(np.uint64) << _U32) | b2[i].astype(np.uint64)
+        out[i] = np.intersect1d(ka, kb, assume_unique=True).size
+    return pd.Series(out)

@@ -39,8 +39,11 @@ K=5 word shingles, 16 perms, 4 bands x 4 rows.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from relieff_lsh_spark.barrier import barrier
 from relieff_lsh_spark.operators.capped import capped_pairs, capped_pairs_sql
@@ -277,7 +280,60 @@ SIM_HAMMING_MAX = 3  # 4 bands pigeonhole-guarantee recall up to hamming 3
 _MIN_LONG = -(1 << 63)
 
 
-def simhash_df(docs: DataFrame) -> DataFrame:
+_MIN_LONG_NP = np.int64(-(1 << 63))
+_POW16 = 1 << np.arange(SIM_BAND_BITS, dtype=np.int64)
+_SH32 = np.arange(32, dtype=np.int64)
+
+
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def _simhash_pack_kernel(p1: pd.Series, p2: pd.Series) -> pd.Series:
+    """Arrow twin of the JVM 64-counter SimHash vote fold + chunk/pack
+    arithmetic: per batch, ONE vectorized bit-count pass over the
+    concatenated (h1, h2) shingle hashes instead of 64 interpreted
+    zip_with/shiftright lambdas per SHINGLE (HOF lambdas are
+    CodegenFallback). Returns [simhash, chunk0..chunk3] per row.
+
+    Exactness: every step is integer arithmetic — bit extraction, counter
+    sums (ones_i), votes 2*ones_i - n, chunk packing, and the min-long
+    top-bit pack are all exact int64 ops identical in value to the column
+    expressions they replace (the A/B and hash parity are recorded in
+    OPTIMIZATION_r06.md; the DuckDB oracle is unchanged)."""
+    v1 = p1.to_numpy()
+    v2 = p2.to_numpy()
+    n = len(v1)
+    if n == 0:
+        return pd.Series(np.empty(0, dtype=object))
+    lens = np.fromiter((len(x) for x in v1), dtype=np.int64, count=n)
+    ones1 = np.zeros((n, 32), dtype=np.int64)
+    ones2 = np.zeros((n, 32), dtype=np.int64)
+    if lens.sum():
+        f1 = np.concatenate(v1)
+        f2 = np.concatenate(v2)
+        offs = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1], out=offs[1:])
+        nz = lens > 0  # upstream filters size>0, but reduceat segments must
+        #                never start at an empty row's offset
+        starts = offs[nz]
+        ones1[nz] = np.add.reduceat((f1[:, None] >> _SH32) & 1, starts, axis=0)
+        ones2[nz] = np.add.reduceat((f2[:, None] >> _SH32) & 1, starts, axis=0)
+    pos1 = (2 * ones1 - lens[:, None]) > 0
+    pos2 = (2 * ones2 - lens[:, None]) > 0
+    c0 = pos1[:, :SIM_BAND_BITS] @ _POW16
+    c1 = pos1[:, SIM_BAND_BITS:] @ _POW16
+    c2 = pos2[:, :SIM_BAND_BITS] @ _POW16
+    c3 = pos2[:, SIM_BAND_BITS:] @ _POW16
+    low63 = c0 + (c1 << 16) + (c2 << 32) + ((c3 & 0x7FFF) << 48)
+    packed = np.where((c3 >> 15) & 1 == 1, low63 + _MIN_LONG_NP, low63)
+    out = np.empty((n, 1 + SIM_BANDS), dtype=np.int64)
+    out[:, 0] = packed
+    out[:, 1] = c0
+    out[:, 2] = c1
+    out[:, 3] = c2
+    out[:, 4] = c3
+    return pd.Series(list(out))
+
+
+def simhash_df(docs: DataFrame, kernel: bool = True) -> DataFrame:
     """(doc_id, simhash, chunk0..chunk3) — 64-bit SimHash by per-bit majority
     vote over the distinct shingle hashes: the corpus pipeline's audio
     SimHash-64 (same 64/4x16 geometry, DedupConfig defaults) re-expressed
@@ -295,8 +351,30 @@ def simhash_df(docs: DataFrame) -> DataFrame:
     pack wraps into the sign bit — re-extracting the top chunk from a
     negative bigint needs engine-specific unsigned shifts, while carrying
     the chunks is portable arithmetic. Packing is overflow-safe in ANSI
-    mode: the top bit is split off and applied as one min-long addition."""
+    mode: the top bit is split off and applied as one min-long addition.
+
+    kernel=True routes the vote fold + chunk/pack through the Arrow batch
+    kernel (_simhash_pack_kernel) — value-identical integer arithmetic,
+    measured A/B in OPTIMIZATION_r06.md."""
     d1 = _shingled(docs)
+    if kernel:
+        d2 = d1.select(
+            "doc_id",
+            _simhash_pack_kernel(
+                F.transform("sh", lambda s: s["h1"]),
+                F.transform("sh", lambda s: s["h2"]),
+            ).alias("sv"),
+        )
+        d2 = barrier(d2, eager=False)  # one kernel pass shared by every
+        # downstream consumer (bands + both join sides in the neardup query)
+        return d2.select(
+            "doc_id",
+            F.element_at("sv", 1).alias("simhash"),
+            *[
+                F.element_at("sv", b + 2).alias(f"chunk{b}")
+                for b in range(SIM_BANDS)
+            ],
+        )
 
     # the h1/h2 Horner pair IS the 64-bit per-shingle hash (bits 0-31 from
     # h1, 32-63 from h2) — no per-shingle md5 at all (module docstring)
