@@ -181,7 +181,11 @@ def connected_components(
     if resumed is not None:
         start_round, path = resumed
         e = spark.read.parquet(path)
-    e = e.localCheckpoint()
+    # lazy: the entry _checksum_and_count action below is the materializing
+    # job (its docstring always promised that); eager=True ran a separate
+    # materialization job first — one extra full pass of the edge relation
+    # per call (round-6, plan/job-count check in OPTIMIZATION_r06.md)
+    e = e.localCheckpoint(eager=False)
 
     prev_sum, n_edges = _checksum_and_count(e)
     converged = n_edges == 0

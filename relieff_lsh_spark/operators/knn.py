@@ -86,11 +86,72 @@ EMB_LABEL_CAP = 256  # skew cap on the blocking key: a label group larger
 #                      form; the cap exists for the skewed corpus case.
 
 
+def _group_pairs_cos(pdf: pd.DataFrame) -> pd.DataFrame:
+    """All a<b pairs within one label group with the UNROUNDED seqfold
+    cosine. Per-pair arithmetic is the exact dim-by-dim left fold of
+    _cos_seqfold_kernel (acc += A[:,i]*B[:,i] — each pair's value depends
+    only on its own two vectors), so values are bit-identical to the
+    join+kernel form; F.round stays Spark-side (HALF_UP, not numpy's
+    half-even)."""
+    ids = pdf["vec_id"].to_numpy()
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    M = np.stack(pdf["v"].to_numpy())[order]
+    n = len(ids)
+    ia, ib = np.triu_indices(n, k=1)
+    A, B = M[ia], M[ib]
+    m = len(ia)
+    dot = np.zeros(m)
+    na2 = np.zeros(m)
+    nb2 = np.zeros(m)
+    for i in range(M.shape[1]):
+        ai = A[:, i]
+        bi = B[:, i]
+        dot += ai * bi
+        na2 += ai * ai
+        nb2 += bi * bi
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cos = dot / (np.sqrt(na2) * np.sqrt(nb2))
+    return pd.DataFrame({
+        "label": pdf["label"].iloc[:1].repeat(m).reset_index(drop=True)
+        if m else pdf["label"].iloc[:0],
+        "a": ids[ia],
+        "b": ids[ib],
+        "cos_raw": cos,
+    })
+
+
 def q_embedding_neardup(emb: DataFrame) -> DataFrame:
     """Label-blocked near-duplicate pairs (cosine >= threshold). Blocking is
     the deterministic analog of LSH bucketing here: candidates only within a
     partition key, then exact verification — same candidate->verify shape as
-    the corpus pipeline, including its bucket cap."""
+    the corpus pipeline, including its bucket cap.
+
+    Round-6 shape: pair generation + the cosine fold moved INTO a grouped
+    Arrow stage (applyInPandas per label) — each vector crosses the Python
+    boundary ONCE per group instead of riding every pair through two joins
+    (~(label_n)/2 x less Arrow traffic; the label cap bounds a group's
+    pair fan-out at EMB_LABEL_CAP^2/2). Values bit-identical (docstring of
+    _group_pairs_cos); measured A/B in BENCH/r06_groupcos_probe.json."""
+    counts = emb.groupBy("label").agg(F.count("*").alias("label_n"))
+    kept = emb.join(counts, "label").where(F.col("label_n") <= EMB_LABEL_CAP)
+    pairs = (
+        kept.select("label", "vec_id", _dbl("embedding").alias("v"))
+        .groupBy("label")
+        .applyInPandas(
+            _group_pairs_cos,
+            schema="label int, a bigint, b bigint, cos_raw double",
+        )
+    )
+    return (
+        pairs.withColumn("cos_sim", F.round(F.col("cos_raw"), 6))
+        .where(F.col("cos_sim") >= NEARDUP_MIN_COS)
+        .select("label", "a", "b", "cos_sim")
+    )
+
+
+def q_embedding_neardup_joined(emb: DataFrame) -> DataFrame:
+    """Round-5 join+kernel form (kept for the A/B probe and parity test)."""
     counts = emb.groupBy("label").agg(F.count("*").alias("label_n"))
     kept = emb.join(counts, "label").where(F.col("label_n") <= EMB_LABEL_CAP)
     a = kept.select(F.col("vec_id").alias("a"), F.col("label"), _dbl("embedding").alias("va"))
