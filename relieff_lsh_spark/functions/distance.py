@@ -42,6 +42,26 @@ def minhash_agree(a: Column, b: Column) -> Column:
     )
 
 
+def minhash_agree_n(a: Column, b: Column, n: int) -> Column:
+    """minhash_agree for signatures of STATICALLY-KNOWN length n, unrolled
+    into n element_at comparisons: the HOF zip_with/aggregate fold is
+    CodegenFallback (one interpreted eval per lane per pair, on every
+    candidate pair), while GetArrayItem comparisons compile into
+    whole-stage codegen. Value-identical, including NULL semantics: a NULL
+    array makes every term NULL, so the sum is NULL exactly like the fold
+    (pinned by tests/test_kernels_r06.py). Callers must guarantee both
+    arrays carry exactly n elements when non-NULL (all call sites are
+    fixed-width signature/band columns)."""
+    terms = [
+        (F.element_at(a, i + 1) == F.element_at(b, i + 1)).cast("int")
+        for i in range(n)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
 def contains_verbatim(needle: Column, haystack: Column) -> Column:
     """Word-boundary verbatim containment of one transcript in another."""
     pad_n = F.concat(F.lit(" "), F.trim(needle), F.lit(" "))

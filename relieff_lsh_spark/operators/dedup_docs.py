@@ -167,19 +167,54 @@ def _minhash_expr(shh):
     at sf0.1 in the md5-shingle era). A single aggregate references shh
     once, so the collapse stays free.
 
-    Perf note (round-4, measured): an Arrow/numpy twin of this fold was
-    value-identical but NOT faster — stage profiling showed the signature
-    wall was dominated by shingle-identity construction (then 7.7s of ~10s
-    at sf0.1; since cut 5x by the Horner rewrite, module docstring), with
-    this fold in the noise, so it stays JVM-side (no Arrow transfer of the
-    hash arrays)."""
+    History: round 4 measured an Arrow twin of this fold as not-faster when
+    shingle-identity construction dominated the stage; the round-5 Horner
+    rewrite removed that dominance and the round-6 re-measure flipped the
+    verdict — see _minhash_fold_kernel (the shipped path) and
+    BENCH/r06_minhash_probe.json. This JVM form remains the defining spec
+    the kernel is equivalence-tested against."""
     init = F.array(*[F.lit(MOD).cast("bigint")] * N_PERMS)
     return F.aggregate(
         shh, init, lambda acc, h: F.zip_with(acc, _perms_of(h), lambda a, b: F.least(a, b))
     )
 
 
-def signature_df(docs: DataFrame, keep_shingles: bool = True) -> DataFrame:
+_PERM_A = np.array([2 * i + 1 for i in range(N_PERMS)], dtype=np.int64)
+_PERM_B = np.array([7919 * i + 13 for i in range(N_PERMS)], dtype=np.int64)
+
+
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def _minhash_fold_kernel(h1s: pd.Series) -> pd.Series:
+    """Arrow twin of _minhash_expr: per batch, permute every shingle hash in
+    one (N_PERMS x total) int64 matrix and per-row segmented-min via
+    minimum.reduceat (the corpus path's make_minhash_udf shape, round 3).
+    Exact: h < 2^32 and the largest multiplier is 2*N_PERMS-1, so every
+    product stays far below 2^63 — identical integer values to the JVM
+    fold's (h*(2i+1) + (7919i+13)) % MOD lanes; empty rows keep the fold's
+    init value MOD. HOF folds are CodegenFallback (one interpreted
+    16-lane zip_with per SHINGLE); this is one vectorized pass per batch.
+    Equivalence pinned by tests/test_kernels_r06.py; A/B in
+    BENCH/r06_minhash_probe.json."""
+    v = h1s.to_numpy()
+    n = len(v)
+    if n == 0:
+        return pd.Series(np.empty(0, dtype=object))
+    lens = np.fromiter((len(x) for x in v), dtype=np.int64, count=n)
+    out = np.full((n, N_PERMS), MOD, dtype=np.int64)
+    tot = int(lens.sum())
+    if tot:
+        flat = np.concatenate(v)
+        m = (flat[None, :] * _PERM_A[:, None] + _PERM_B[:, None]) % MOD
+        offs = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1], out=offs[1:])
+        nz = lens > 0
+        out[nz] = np.minimum.reduceat(m, offs[nz], axis=1).T
+    return pd.Series(list(out))
+
+
+def signature_df(
+    docs: DataFrame, keep_shingles: bool = True, mh_kernel: bool = True
+) -> DataFrame:
     """(doc_id, [sh,] mh, bands): token md5s -> Horner shingle hashes ->
     one-pass 16-lane MinHash fold (over h1) -> band hashes.
 
@@ -196,11 +231,10 @@ def signature_df(docs: DataFrame, keep_shingles: bool = True) -> DataFrame:
     docstring)."""
     d1 = _shingled(docs)
     keep = ["doc_id", "sh"] if keep_shingles else ["doc_id"]
+    fold = _minhash_fold_kernel if mh_kernel else _minhash_expr
     d3 = d1.select(
         *keep,
-        _minhash_expr(
-            F.transform(F.col("sh"), lambda s: s["h1"])
-        ).alias("mh"),
+        fold(F.transform(F.col("sh"), lambda s: s["h1"])).alias("mh"),
     )
     d3 = barrier(d3, eager=False)
     return d3.select(
@@ -507,13 +541,16 @@ def _prefiltered(cand: DataFrame, sig: DataFrame) -> DataFrame:
     Used standalone by the profiling harness (BENCH/jv_profile.py);
     q_jaccard_verify applies the same predicate inside its combined 2-join
     shape (measured faster there — see the query docstring)."""
-    from relieff_lsh_spark.functions.distance import minhash_agree
+    from relieff_lsh_spark.functions.distance import minhash_agree_n
 
     mh = sig.select("doc_id", "mh")
     return (
         cand.join(mh.select(F.col("doc_id").alias("a"), F.col("mh").alias("mh_a")), "a")
         .join(mh.select(F.col("doc_id").alias("b"), F.col("mh").alias("mh_b")), "b")
-        .where(minhash_agree(F.col("mh_a"), F.col("mh_b")) >= PREFILTER_MIN_AGREE)
+        .where(
+            minhash_agree_n(F.col("mh_a"), F.col("mh_b"), N_PERMS)
+            >= PREFILTER_MIN_AGREE
+        )
         .select("a", "b")
     )
 
@@ -558,7 +595,7 @@ def q_jaccard_verify(docs: DataFrame) -> DataFrame:
     # at sf1x, identical integer counts.
     from relieff_lsh_spark.functions.distance import (
         intersect_count_u64pairs,
-        minhash_agree,
+        minhash_agree_n,
     )
 
     sig = barrier(signature_df(augmented_docs(docs)))
@@ -588,7 +625,10 @@ def q_jaccard_verify(docs: DataFrame) -> DataFrame:
             ),
             "b",
         )
-        .where(minhash_agree(F.col("mh_a"), F.col("mh_b")) >= PREFILTER_MIN_AGREE)
+        .where(
+            minhash_agree_n(F.col("mh_a"), F.col("mh_b"), N_PERMS)
+            >= PREFILTER_MIN_AGREE
+        )
         .withColumn("n_int", intersect_count_u64pairs(
             F.col("a1"), F.col("a2"), F.col("b1"), F.col("b2")
         ))

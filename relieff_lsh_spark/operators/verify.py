@@ -44,7 +44,7 @@ from relieff_lsh_spark.config import DedupConfig
 from relieff_lsh_spark.functions.distance import (
     hamming64,
     jaccard_sets,
-    minhash_agree,
+    minhash_agree_n,
     substr_either,
 )
 
@@ -75,6 +75,7 @@ def verify_candidates(
         if has_rot
         else F.col("text_bands")
     )
+    n_bands_cols = cfg.bands + (cfg.bands - 1 if has_rot else 0)
     fixed = signatures.select(
         "clip_id", "simhash", all_bands_col.alias("all_bands")
     )
@@ -93,10 +94,11 @@ def verify_candidates(
         .withColumn("hamming", hamming64(F.col("simhash_a"), F.col("simhash_b")))
         .withColumn(
             "bands_agree",
-            # minhash_agree counts equal lanes of any equal-length arrays;
+            # unrolled fixed-width agreement count (codegen; the HOF fold
+            # is CodegenFallback — round-6, functions/distance.py);
             # NULL-safe: a missing signature must not prune (keep)
             F.coalesce(
-                minhash_agree(F.col("tb_a"), F.col("tb_b")),
+                minhash_agree_n(F.col("tb_a"), F.col("tb_b"), n_bands_cols),
                 F.lit(cfg.bands),
             ),
         )

@@ -103,6 +103,18 @@ def get_spark(
             f"-Xms{_DRIVER_MEM} {GC_JVM_FLAGS}",
         )
         .config("spark.ui.enabled", "false")
+        # Let the planner pick shuffled-hash join where its size conditions
+        # hold instead of always preferring sort-merge (guide §3.1): the
+        # suite's joins are band/doc-keyed attaches whose per-partition
+        # build sides are bounded (bucket caps + 16MB advisory partitions),
+        # so the hash build skips both sort passes. Interleaved A/B at sf1x
+        # (BENCH/r06_shj_probe.json): q_jaccard_verify 2.60 vs 2.98s min,
+        # q_simhash_neardup/q_lsh_candidates_refined -3%, none slower.
+        # Scale note: false does not FORCE hash joins — the planner still
+        # requires the build side below its size conditions, and AQE skew
+        # splitting applies to shuffled-hash joins too, so a skewed or
+        # unbounded build side still gets sort-merge/split behavior.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # count()-style aggregates answered from parquet footer statistics
         # instead of scanning row groups (corpus row counts, lineage checks)
