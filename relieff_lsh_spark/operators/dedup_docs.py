@@ -167,12 +167,13 @@ def _minhash_expr(shh):
     at sf0.1 in the md5-shingle era). A single aggregate references shh
     once, so the collapse stays free.
 
-    History: round 4 measured an Arrow twin of this fold as not-faster when
-    shingle-identity construction dominated the stage; the round-5 Horner
-    rewrite removed that dominance and the round-6 re-measure flipped the
-    verdict — see _minhash_fold_kernel (the shipped path) and
-    BENCH/r06_minhash_probe.json. This JVM form remains the defining spec
-    the kernel is equivalence-tested against."""
+    History: round 4 measured an Arrow twin of this fold as not-faster;
+    round 6 re-measured after the Horner rewrite (_minhash_fold_kernel,
+    BENCH/r06_minhash_probe.json): the kernel wins ~6% on q_lsh_candidates
+    at sf1x but LOSES 0.2-0.3s/query at sf0.1 where the python-worker round
+    trip dominates — so this JVM fold stays the default and the kernel
+    remains available via mh_kernel=True (scale-dependent choice, recorded
+    both ways)."""
     init = F.array(*[F.lit(MOD).cast("bigint")] * N_PERMS)
     return F.aggregate(
         shh, init, lambda acc, h: F.zip_with(acc, _perms_of(h), lambda a, b: F.least(a, b))
@@ -213,7 +214,7 @@ def _minhash_fold_kernel(h1s: pd.Series) -> pd.Series:
 
 
 def signature_df(
-    docs: DataFrame, keep_shingles: bool = True, mh_kernel: bool = True
+    docs: DataFrame, keep_shingles: bool = True, mh_kernel: bool = False
 ) -> DataFrame:
     """(doc_id, [sh,] mh, bands): token md5s -> Horner shingle hashes ->
     one-pass 16-lane MinHash fold (over h1) -> band hashes.
