@@ -84,8 +84,13 @@ def band_candidates(
     )
 
     # one materialized pass: the stats aggregate and both self-join sides
-    # read this; upstream (signature scan + explode + window) runs once
-    annotated = annotated.localCheckpoint()
+    # read this; upstream (signature scan + explode + window) runs once.
+    # Lazy (round-6): the stats collect right below is the FIRST action and
+    # fully materializes the checkpoint, so an eager store was one extra
+    # full job per stage; the self-join consumers then read the stored
+    # blocks exactly as before (the components-entry pattern, measured in
+    # BENCH/r06_candstage_probe.json).
+    annotated = annotated.localCheckpoint(eager=False)
 
     hot = F.col("bucket_n") > cap * factor
     warm = (F.col("bucket_n") > cap) & ~hot
