@@ -151,6 +151,18 @@ def test_simhash_df_kernel_matches_jvm_fold(spark):
 
 
 @pytest.mark.usefixtures("spark")
+def test_embedding_neardup_grouped_matches_joined(spark):
+    """The round-6 grouped applyInPandas cosine stage must reproduce the
+    join+pairwise-kernel form exactly (same pairs, same rounded cosines)."""
+    import relieff_lsh_spark.operators.knn as knn
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    grouped = sorted(map(tuple, knn.q_embedding_neardup(emb).collect()))
+    joined = sorted(map(tuple, knn.q_embedding_neardup_joined(emb).collect()))
+    assert grouped == joined and len(grouped) > 0
+
+
+@pytest.mark.usefixtures("spark")
 def test_jaccard_verify_flat_kernel_spark_parity(spark):
     """Whole-query parity of the flat intersect kernel vs the per-row form
     on the real query path (q_jaccard_verify at sf0.001)."""
