@@ -132,7 +132,7 @@ def q_embedding_neardup(emb: DataFrame) -> DataFrame:
     boundary ONCE per group instead of riding every pair through two joins
     (~(label_n)/2 x less Arrow traffic; the label cap bounds a group's
     pair fan-out at EMB_LABEL_CAP^2/2). Values bit-identical (docstring of
-    _group_pairs_cos); measured A/B in BENCH/r06_groupcos_probe.json."""
+    _group_pairs_cos); measured A/B in BENCH/r06_groupcos_probe_sf1x.json."""
     counts = emb.groupBy("label").agg(F.count("*").alias("label_n"))
     kept = emb.join(counts, "label").where(F.col("label_n") <= EMB_LABEL_CAP)
     pairs = (
